@@ -1,0 +1,28 @@
+"""Test configuration: CPU backend (8 virtual devices for mesh tests) + f64.
+
+The reference validates against f64 closed forms (SURVEY.md §4); we run the
+test suite on the CPU backend with x64 enabled, and reserve
+bf16/f32-on-real-TPU for the benchmark path (SURVEY.md §7 'dual precision
+modes').  Must run before any other jax usage, hence the module-level
+config updates here.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1)

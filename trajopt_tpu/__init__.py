@@ -1,0 +1,64 @@
+"""trajopt_tpu: a TPU-native constrained trajectory-optimization framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+TrajectoryOptimization.jl (problem interface), RobotDynamics.jl (models,
+integrators), and Altro.jl (AL-iLQR / ALTRO solver), built for batched
+solves on TPU meshes.  See SURVEY.md for the layer map and reference
+citations.
+"""
+
+from .cones import (
+    Cone,
+    Equality,
+    Inequality,
+    IdentityCone,
+    NegativeOrthant,
+    PositiveOrthant,
+    SecondOrderCone,
+    ZeroCone,
+    dualcone,
+    in_cone,
+    projection,
+    projection_hessian,
+    projection_jacobian,
+)
+from .costs import (
+    CostExpansion,
+    DiagonalCost,
+    DiagonalQuatCost,
+    LQRCost,
+    QuadraticCost,
+    QuatLQRCost,
+)
+from .objective import LQRObjective, Objective, TrackingObjective, update_trajectory
+from .dynamics import (
+    DiscreteModel,
+    Euler,
+    ImplicitMidpoint,
+    Model,
+    RK3,
+    RK4,
+    discretize,
+    implicit_midpoint_residual,
+    linearize,
+    rollout,
+)
+from .constraints import (
+    BoundConstraint,
+    CircleConstraint,
+    CollisionConstraint,
+    ControlBound,
+    GoalConstraint,
+    IndexedConstraint,
+    LinearConstraint,
+    NormConstraint,
+    QuatVecEq,
+    SphereConstraint,
+    StateBound,
+    is_bound,
+    sense,
+)
+from .constraint_list import ConstraintList, num_constraints
+from .problem import Problem
+
+__version__ = "0.1.0"

@@ -1,0 +1,355 @@
+"""Cost functions: quadratic/diagonal/LQR and quaternion-geodesic costs.
+
+TPU-native re-design of the reference's cost layer
+(/root/reference/src/cost_functions.jl, /root/reference/src/lie_costs.jl).
+
+The reference represents each knot's cost as a type-specialized StaticArrays
+object with hand-written gradient/Hessian methods (cost_functions.jl:89-233).
+Here a cost is a frozen pytree of coefficient arrays; an ``Objective`` stacks
+N of them along a leading axis so evaluation/expansion over the whole
+trajectory is one ``vmap`` (and over scenarios, a second ``vmap``) — the
+zero-allocation inner loops of the reference become fused XLA element-wise +
+matmul ops on (N, n, n)-shaped tensors.
+
+Cost form (cost_functions.jl:34, docstring):
+    J(x, u) = 1/2 x'Qx + 1/2 u'Ru + u'Hx + q'x + r'u + c
+with the control terms dropped at the terminal knot (cost_functions.jl:92).
+``DiagonalQuatCost`` adds the geodesic term ``w * min(1 + qf'q, 1 - qf'q)``
+(lie_costs.jl:68-95).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+__all__ = [
+    "DiagonalCost",
+    "QuadraticCost",
+    "DiagonalQuatCost",
+    "LQRCost",
+    "QuatLQRCost",
+    "CostExpansion",
+]
+
+
+@struct.dataclass
+class CostExpansion:
+    """Second-order expansion of a cost about (x, u).
+
+    Matches the blocks the reference writes into its ``QuadraticCostFunction``
+    expansions (cost_functions.jl:137-233): gradient (q, r) and Hessian
+    (Q, R, H) with H the (m, n) cross term d2J/dudx.
+    """
+
+    xx: jax.Array  # (n, n)
+    uu: jax.Array  # (m, m)
+    ux: jax.Array  # (m, n)
+    x: jax.Array  # (n,)
+    u: jax.Array  # (m,)
+    c: jax.Array  # scalar
+
+
+def _sym(M):
+    return 0.5 * (M + M.T)
+
+
+@struct.dataclass
+class QuadraticCost:
+    """Dense quadratic cost (cost_functions.jl:422-519).
+
+    Q: (n, n), R: (m, m), H: (m, n) cross term, q: (n,), r: (m,), c: scalar.
+    """
+
+    Q: jax.Array
+    R: jax.Array
+    H: jax.Array
+    q: jax.Array
+    r: jax.Array
+    c: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.q.shape[-1]
+
+    @property
+    def m(self) -> int:
+        return self.r.shape[-1]
+
+    @classmethod
+    def create(cls, Q, R, H=None, q=None, r=None, c=0.0, dtype=None):
+        Q = jnp.asarray(Q, dtype=dtype)
+        R = jnp.asarray(R, dtype=dtype)
+        if Q.ndim == 1:
+            Q = jnp.diag(Q)
+        if R.ndim == 1:
+            R = jnp.diag(R)
+        n, m = Q.shape[0], R.shape[0]
+        H = jnp.zeros((m, n), Q.dtype) if H is None else jnp.asarray(H, Q.dtype)
+        q = jnp.zeros((n,), Q.dtype) if q is None else jnp.asarray(q, Q.dtype)
+        r = jnp.zeros((m,), Q.dtype) if r is None else jnp.asarray(r, Q.dtype)
+        return cls(Q=Q, R=R, H=H, q=q, r=r, c=jnp.asarray(c, Q.dtype))
+
+    # -- evaluation (cost_functions.jl:89-104) --------------------------------
+    def stage_cost(self, x, u):
+        J = 0.5 * x @ self.Q @ x + self.q @ x + self.c
+        J = J + 0.5 * u @ self.R @ u + self.r @ u + u @ self.H @ x
+        return J
+
+    def term_cost(self, x):
+        return 0.5 * x @ self.Q @ x + self.q @ x + self.c
+
+    # -- expansion (cost_functions.jl:137-233) --------------------------------
+    def expansion(self, x, u) -> CostExpansion:
+        return CostExpansion(
+            xx=_sym(self.Q),
+            uu=_sym(self.R),
+            ux=self.H,
+            x=self.Q @ x + self.q + self.H.T @ u,
+            u=self.R @ u + self.r + self.H @ x,
+            c=self.stage_cost(x, u),
+        )
+
+    def term_expansion(self, x) -> CostExpansion:
+        m = self.m
+        dt = self.Q.dtype
+        return CostExpansion(
+            xx=_sym(self.Q),
+            uu=jnp.zeros((m, m), dt),
+            ux=jnp.zeros((m, self.n), dt),
+            x=self.Q @ x + self.q,
+            u=jnp.zeros((m,), dt),
+            c=self.term_cost(x),
+        )
+
+    def __add__(self, other):  # cost addition (cost_functions.jl:260-270)
+        o = _as_dense(other)
+        return QuadraticCost(
+            Q=self.Q + o.Q, R=self.R + o.R, H=self.H + o.H,
+            q=self.q + o.q, r=self.r + o.r, c=self.c + o.c,
+        )
+
+
+@struct.dataclass
+class DiagonalCost:
+    """Diagonal quadratic cost (cost_functions.jl:326-401). Q, R stored as vectors."""
+
+    Qd: jax.Array  # (n,)
+    Rd: jax.Array  # (m,)
+    q: jax.Array
+    r: jax.Array
+    c: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.q.shape[-1]
+
+    @property
+    def m(self) -> int:
+        return self.r.shape[-1]
+
+    @classmethod
+    def create(cls, Qd, Rd, q=None, r=None, c=0.0, dtype=None):
+        Qd = jnp.asarray(Qd, dtype=dtype)
+        Rd = jnp.asarray(Rd, dtype=dtype)
+        if Qd.ndim == 2:
+            Qd = jnp.diag(Qd)
+        if Rd.ndim == 2:
+            Rd = jnp.diag(Rd)
+        n, m = Qd.shape[0], Rd.shape[0]
+        q = jnp.zeros((n,), Qd.dtype) if q is None else jnp.asarray(q, Qd.dtype)
+        r = jnp.zeros((m,), Qd.dtype) if r is None else jnp.asarray(r, Qd.dtype)
+        return cls(Qd=Qd, Rd=Rd, q=q, r=r, c=jnp.asarray(c, Qd.dtype))
+
+    def stage_cost(self, x, u):
+        J = 0.5 * jnp.sum(self.Qd * x * x) + self.q @ x + self.c
+        return J + 0.5 * jnp.sum(self.Rd * u * u) + self.r @ u
+
+    def term_cost(self, x):
+        return 0.5 * jnp.sum(self.Qd * x * x) + self.q @ x + self.c
+
+    def expansion(self, x, u) -> CostExpansion:
+        dt = self.Qd.dtype
+        return CostExpansion(
+            xx=jnp.diag(self.Qd),
+            uu=jnp.diag(self.Rd),
+            ux=jnp.zeros((self.m, self.n), dt),
+            x=self.Qd * x + self.q,
+            u=self.Rd * u + self.r,
+            c=self.stage_cost(x, u),
+        )
+
+    def term_expansion(self, x) -> CostExpansion:
+        dt = self.Qd.dtype
+        return CostExpansion(
+            xx=jnp.diag(self.Qd),
+            uu=jnp.zeros((self.m, self.m), dt),
+            ux=jnp.zeros((self.m, self.n), dt),
+            x=self.Qd * x + self.q,
+            u=jnp.zeros((self.m,), dt),
+            c=self.term_cost(x),
+        )
+
+    def __add__(self, other):
+        if isinstance(other, DiagonalCost):
+            return DiagonalCost(
+                Qd=self.Qd + other.Qd, Rd=self.Rd + other.Rd,
+                q=self.q + other.q, r=self.r + other.r, c=self.c + other.c,
+            )
+        return _as_dense(self) + other
+
+
+@struct.dataclass
+class DiagonalQuatCost:
+    """Diagonal quadratic + quaternion geodesic cost (lie_costs.jl:34-95).
+
+    J = 1/2 x'Qx + q'x + c + 1/2 u'Ru + r'u + w * min(1 + qf'q, 1 - qf'q)
+    where q = x[q_ind].  ``q_ind`` is static (trace-time) like the
+    reference's type-level index (lie_costs.jl:42).
+    """
+
+    Qd: jax.Array
+    Rd: jax.Array
+    q: jax.Array
+    r: jax.Array
+    c: jax.Array
+    w: jax.Array  # scalar geodesic weight
+    q_ref: jax.Array  # (4,)
+    q_ind: Tuple[int, int, int, int] = struct.field(pytree_node=False, default=(3, 4, 5, 6))
+
+    @property
+    def n(self) -> int:
+        return self.q.shape[-1]
+
+    @property
+    def m(self) -> int:
+        return self.r.shape[-1]
+
+    def _geodesic(self, x):
+        qv = x[jnp.array(self.q_ind)]
+        dq = self.q_ref @ qv
+        return self.w * jnp.minimum(1 + dq, 1 - dq), dq
+
+    def stage_cost(self, x, u):
+        base = 0.5 * jnp.sum(self.Qd * x * x) + self.q @ x + self.c
+        base = base + 0.5 * jnp.sum(self.Rd * u * u) + self.r @ u
+        geo, _ = self._geodesic(x)
+        return base + geo
+
+    def term_cost(self, x):
+        base = 0.5 * jnp.sum(self.Qd * x * x) + self.q @ x + self.c
+        geo, _ = self._geodesic(x)
+        return base + geo
+
+    def _grad_x(self, x):
+        # Sign-aware geodesic gradient (lie_costs.jl:84-89).
+        qv = x[jnp.array(self.q_ind)]
+        dq = self.q_ref @ qv
+        sign = jnp.where(dq < 0, 1.0, -1.0).astype(x.dtype)
+        gx = self.Qd * x + self.q
+        gx = gx.at[jnp.array(self.q_ind)].add(sign * self.w * self.q_ref)
+        return gx
+
+    def expansion(self, x, u) -> CostExpansion:
+        dt = self.Qd.dtype
+        # Gauss-Newton treatment: geodesic term contributes gradient only
+        # (its Hessian is zero almost everywhere in the quaternion entries
+        # because it is linear in q up to the sign switch), matching the
+        # reference where hessian! adds nothing beyond Q (lie_costs.jl:59-60,
+        # is_diag => Hessian = Diagonal(Q)).
+        return CostExpansion(
+            xx=jnp.diag(self.Qd),
+            uu=jnp.diag(self.Rd),
+            ux=jnp.zeros((self.m, self.n), dt),
+            x=self._grad_x(x),
+            u=self.Rd * u + self.r,
+            c=self.stage_cost(x, u),
+        )
+
+    def term_expansion(self, x) -> CostExpansion:
+        dt = self.Qd.dtype
+        return CostExpansion(
+            xx=jnp.diag(self.Qd),
+            uu=jnp.zeros((self.m, self.m), dt),
+            ux=jnp.zeros((self.m, self.n), dt),
+            x=self._grad_x(x),
+            u=jnp.zeros((self.m,), dt),
+            c=self.term_cost(x),
+        )
+
+    def __add__(self, other):  # lie_costs.jl:158-167
+        assert isinstance(other, (DiagonalCost, DiagonalQuatCost))
+        ow = other.w if isinstance(other, DiagonalQuatCost) else 0.0
+        return DiagonalQuatCost(
+            Qd=self.Qd + other.Qd, Rd=self.Rd + other.Rd,
+            q=self.q + other.q, r=self.r + other.r, c=self.c + other.c,
+            w=self.w + ow, q_ref=self.q_ref, q_ind=self.q_ind,
+        )
+
+
+def _as_dense(cost) -> QuadraticCost:
+    if isinstance(cost, QuadraticCost):
+        return cost
+    if isinstance(cost, DiagonalCost):
+        return QuadraticCost.create(jnp.diag(cost.Qd), jnp.diag(cost.Rd),
+                                    q=cost.q, r=cost.r, c=cost.c)
+    raise TypeError(f"cannot convert {type(cost)} to QuadraticCost")
+
+
+def LQRCost(Q, R, xf, uf=None, diag: Optional[bool] = None, dtype=None):
+    """Tracking cost 1/2 (x-xf)'Q(x-xf) + 1/2 (u-uf)'R(u-uf).
+
+    Expanded form with q = -Q xf, r = -R uf, c = 1/2 xf'Q xf + 1/2 uf'R uf
+    (cost_functions.jl:532-547). Returns a DiagonalCost when Q, R are
+    vectors/diagonal, QuadraticCost otherwise.
+    """
+    Q = jnp.asarray(Q, dtype=dtype)
+    R = jnp.asarray(R, dtype=dtype)
+    xf = jnp.asarray(xf, Q.dtype)
+    is_diag = (Q.ndim == 1 and R.ndim == 1) if diag is None else diag
+    if uf is None:
+        uf = jnp.zeros(R.shape[0], Q.dtype)
+    else:
+        uf = jnp.asarray(uf, Q.dtype)
+    if is_diag:
+        Qd = Q if Q.ndim == 1 else jnp.diag(Q)
+        Rd = R if R.ndim == 1 else jnp.diag(R)
+        q = -Qd * xf
+        r = -Rd * uf
+        c = 0.5 * jnp.sum(Qd * xf * xf) + 0.5 * jnp.sum(Rd * uf * uf)
+        return DiagonalCost(Qd=Qd, Rd=Rd, q=q, r=r, c=c)
+    Qm = jnp.diag(Q) if Q.ndim == 1 else Q
+    Rm = jnp.diag(R) if R.ndim == 1 else R
+    q = -Qm @ xf
+    r = -Rm @ uf
+    c = 0.5 * xf @ Qm @ xf + 0.5 * uf @ Rm @ uf
+    return QuadraticCost.create(Qm, Rm, q=q, r=r, c=c)
+
+
+def QuatLQRCost(Q, R, xf, uf=None, w=1.0, quat_ind=(3, 4, 5, 6), dtype=None):
+    """Quaternion-tracking LQR cost (lie_costs.jl:133-142).
+
+    1/2 (x-xf)'Q(x-xf) + 1/2 (u-uf)'R(u-uf) + w min(1 +- qf'q), with
+    ``quat_ind`` the (0-based) quaternion slice of the state.
+    """
+    Qd = jnp.asarray(Q, dtype=dtype)
+    Rd = jnp.asarray(R, dtype=dtype)
+    if Qd.ndim == 2:
+        Qd = jnp.diag(Qd)
+    if Rd.ndim == 2:
+        Rd = jnp.diag(Rd)
+    xf = jnp.asarray(xf, Qd.dtype)
+    if uf is None:
+        uf = jnp.zeros(Rd.shape[0], Qd.dtype)
+    else:
+        uf = jnp.asarray(uf, Qd.dtype)
+    q = -Qd * xf
+    r = -Rd * uf
+    c = 0.5 * jnp.sum(Qd * xf * xf) + 0.5 * jnp.sum(Rd * uf * uf)
+    q_ref = xf[jnp.array(quat_ind)]
+    return DiagonalQuatCost(
+        Qd=Qd, Rd=Rd, q=q, r=r, c=c,
+        w=jnp.asarray(w, Qd.dtype), q_ref=q_ref, q_ind=tuple(quat_ind),
+    )

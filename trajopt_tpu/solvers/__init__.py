@@ -1,0 +1,19 @@
+"""Solvers: iLQR, AL-iLQR, ALTRO (the Altro.jl role, SURVEY.md §2.2/§3.5)."""
+from .options import SolverOptions
+from .ilqr import ILQRResult, ilqr_solve
+from .al import ALSolution, ConstraintBlock, al_solve, make_al_functions
+from .altro import ALTROSolver, iLQRSolver, solve, solve_problem
+
+__all__ = [
+    "SolverOptions",
+    "ILQRResult",
+    "ilqr_solve",
+    "ALSolution",
+    "ConstraintBlock",
+    "al_solve",
+    "make_al_functions",
+    "ALTROSolver",
+    "iLQRSolver",
+    "solve",
+    "solve_problem",
+]

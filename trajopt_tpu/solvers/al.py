@@ -1,0 +1,288 @@
+"""Augmented-Lagrangian outer loop over iLQR (AL-iLQR).
+
+Re-design of the solve loop the reference delegates to Altro.jl
+(SURVEY.md §3.5; /root/reference/docs/old/solving.md), built around a single
+*uniform conic* PHR formulation that covers Equality, Inequality, and
+SecondOrderCone constraints with one code path:
+
+    L_A = f(x) + sum_i 1/(2 mu_i) ( ||Pi_{K*}(lambda_i - mu_i c_i)||^2
+                                    - ||lambda_i||^2 )
+
+with Pi_{K*} the projection onto the dual cone (cones.jl:65-69).  This is
+algebraically the classic AL for equality (Pi = identity), the
+Rockafellar/PHR active-set form for inequality (Pi = min(0, .)), and the
+conic AL of the reference's design sketch for SOC (test/socp.jl:52-81:
+penalty psi = c - Pi_K(c), gradient (I - dPi_K) C) — with dual update
+
+    lambda <- Pi_{K*}(lambda - mu c)        (SURVEY.md §3.5 dual update law)
+
+Gradient/Gauss-Newton Hessian of the penalty use the closed-form projection
+Jacobians (cones.jl:129-188), chained through the constraint Jacobians and
+scatter-added into the per-knot cost expansion — each constraint block is a
+statically-shaped vmapped kernel over its knot-index set.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..cones import Cone, dualcone, projection, projection_jacobian, violation
+from ..dynamics import DiscreteModel, rollout
+from ..objective import Objective
+from .ilqr import ILQRResult, ilqr_solve
+from .options import SolverOptions
+
+__all__ = ["ALSolution", "al_solve", "make_al_functions", "ConstraintBlock",
+           "init_duals", "eval_blocks", "max_violation_blocks"]
+
+
+@struct.dataclass
+class ConstraintBlock:
+    """One (constraint, knot-set) pair.
+
+    ``con`` is the constraint pytree (arrays are leaves); ``inds`` the STATIC
+    knot indices (constraint_list.jl:38-41) — static so block shapes and the
+    scatter indices are trace-time constants.
+    """
+
+    con: Any
+    inds: Tuple[int, ...] = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class ALSolution:
+    xs: jax.Array
+    us: jax.Array
+    J: jax.Array                 # true (un-augmented) objective cost
+    max_violation: jax.Array
+    iterations: jax.Array        # total inner iLQR iterations
+    outer_iterations: jax.Array
+    gradient: jax.Array
+    converged: jax.Array
+    duals: Any                   # tuple of (K_i, p_i) dual arrays
+    penalties: Any               # tuple of (K_i,) penalty scalars
+
+
+def _block_eval(block: ConstraintBlock, xs, us):
+    """(K, p) constraint values over the block's knot set."""
+    idx = jnp.array(block.inds)
+    return jax.vmap(block.con.evaluate)(xs[idx], us[idx])
+
+
+def _block_jac(block: ConstraintBlock, xs, us):
+    idx = jnp.array(block.inds)
+    return jax.vmap(block.con.jacobian)(xs[idx], us[idx])
+
+
+def eval_blocks(blocks: Sequence[ConstraintBlock], xs, us):
+    return tuple(_block_eval(b, xs, us) for b in blocks)
+
+
+def max_violation_blocks(blocks: Sequence[ConstraintBlock], cvals) -> jax.Array:
+    """max_violation over all constraints/knots (the constrained-solver
+    interface method, docs/old/solver_interface.md)."""
+    if not blocks:
+        return jnp.zeros(())
+    viols = [
+        jnp.max(jax.vmap(lambda c: violation(b.con.sense, c))(c), initial=0.0)
+        for b, c in zip(blocks, cvals)
+    ]
+    return jnp.stack(viols).max()
+
+
+def init_duals(blocks: Sequence[ConstraintBlock], opts: SolverOptions, dtype):
+    lams = tuple(
+        jnp.zeros((len(b.inds), b.con.output_dim), dtype) for b in blocks
+    )
+    mus = tuple(
+        jnp.full((len(b.inds),), opts.penalty_initial, dtype) for b in blocks
+    )
+    return lams, mus
+
+
+def make_al_functions(obj: Objective, blocks: Sequence[ConstraintBlock],
+                      lams, mus) -> Tuple[Callable, Callable]:
+    """Build (cost_fn, expand_fn) for the AL-augmented objective."""
+
+    def penalty_cost(block, lam, mu, xs, us):
+        c = _block_eval(block, xs, us)                      # (K, p)
+        dual = dualcone(block.con.sense)
+        y = lam - mu[:, None] * c
+        pi = jax.vmap(lambda v: projection(dual, v))(y)     # (K, p)
+        per_knot = 0.5 * (jnp.sum(pi * pi, axis=-1) - jnp.sum(lam * lam, axis=-1)) / mu
+        return jnp.sum(per_knot)
+
+    def cost_fn(xs, us):
+        J = obj.cost(xs, us)
+        for block, lam, mu in zip(blocks, lams, mus):
+            J = J + penalty_cost(block, lam, mu, xs, us)
+        return J
+
+    def expand_fn(xs, us):
+        exp = obj.expansion(xs, us)
+        n = xs.shape[-1]
+        gx, gu = exp.x, exp.u
+        Hxx, Huu, Hux = exp.xx, exp.uu, exp.ux
+        for block, lam, mu in zip(blocks, lams, mus):
+            idx = jnp.array(block.inds)
+            c = _block_eval(block, xs, us)                  # (K, p)
+            Jc = _block_jac(block, xs, us)                  # (K, p, n+m)
+            dual = dualcone(block.con.sense)
+            y = lam - mu[:, None] * c
+            pi = jax.vmap(lambda v: projection(dual, v))(y)         # (K, p)
+            dpi = jax.vmap(lambda v: projection_jacobian(dual, v))(y)  # (K, p, p)
+            # grad wrt c: -dPi^T pi ; GN Hessian wrt c: mu * dPi^T dPi
+            g_c = -jnp.einsum("kpq,kp->kq", dpi, pi)
+            g_z = jnp.einsum("kpz,kp->kz", Jc, g_c)                  # (K, n+m)
+            H_c = jnp.einsum("kpq,kpr->kqr", dpi, dpi) * mu[:, None, None]
+            H_z = jnp.einsum("kpz,kpq,kqw->kzw", Jc, H_c, Jc)        # (K, n+m, n+m)
+            gx = gx.at[idx].add(g_z[:, :n])
+            gu = gu.at[idx].add(g_z[:, n:])
+            Hxx = Hxx.at[idx].add(H_z[:, :n, :n])
+            Huu = Huu.at[idx].add(H_z[:, n:, n:])
+            Hux = Hux.at[idx].add(H_z[:, n:, :n])
+        return exp.replace(x=gx, u=gu, xx=Hxx, uu=Huu, ux=Hux)
+
+    return cost_fn, expand_fn
+
+
+def update_duals(blocks, lams, mus, cvals, opts: SolverOptions):
+    """lambda <- clamp(Pi_{K*}(lambda - mu c)) (SURVEY.md §3.5)."""
+    new = []
+    for block, lam, mu, c in zip(blocks, lams, mus, cvals):
+        dual = dualcone(block.con.sense)
+        y = lam - mu[:, None] * c
+        lam_n = jax.vmap(lambda v: projection(dual, v))(y)
+        lam_n = jnp.clip(lam_n, -opts.dual_max, opts.dual_max)
+        new.append(lam_n)
+    return tuple(new)
+
+
+def update_penalties(mus, opts: SolverOptions):
+    """mu <- min(penalty_scaling * mu, penalty_max) (docs/old/solving.md)."""
+    return tuple(jnp.minimum(mu * opts.penalty_scaling, opts.penalty_max)
+                 for mu in mus)
+
+
+def al_solve(
+    model: DiscreteModel,
+    obj: Objective,
+    blocks: Sequence[ConstraintBlock],
+    x0: jax.Array,
+    us_init: jax.Array,
+    times: jax.Array,
+    dts: jax.Array,
+    opts: SolverOptions,
+    xs_init: jax.Array = None,
+) -> ALSolution:
+    """AL-iLQR solve (the ALTRO phase-1 loop, SURVEY.md §3.5).
+
+    Fully jittable and vmappable over scenarios: all control flow is
+    ``lax.while_loop`` with per-scenario convergence state.
+    """
+    blocks = tuple(blocks)
+    dtype = us_init.dtype
+    # Ensure dynamic feasibility: rollout from x0 (the reference examples
+    # call rollout! before solve; problem.jl:330-340).
+    xs0 = rollout(model, x0, us_init, times, dts)
+    if xs_init is not None:
+        # Warm start states are only meaningful if dynamically consistent;
+        # prefer them when finite, else the rollout.
+        xs0 = jnp.where(jnp.all(jnp.isfinite(xs_init)), xs_init, xs0)
+
+    lams, mus = init_duals(blocks, opts, dtype)
+
+    if not blocks:
+        res = ilqr_solve(model, obj.cost, obj.expansion, x0, xs0, us_init,
+                         times, dts, opts)
+        return ALSolution(
+            xs=res.xs, us=res.us, J=res.J, max_violation=jnp.zeros((), dtype),
+            iterations=res.iterations, outer_iterations=jnp.zeros((), jnp.int32),
+            gradient=res.gradient, converged=res.converged, duals=lams,
+            penalties=mus,
+        )
+
+    class Carry(NamedTuple):
+        xs: jax.Array
+        us: jax.Array
+        lams: Any
+        mus: Any
+        J: jax.Array
+        viol: jax.Array
+        grad: jax.Array
+        inner_iters: jax.Array
+        outer: jax.Array
+        converged: jax.Array
+        failed: jax.Array
+
+    def cond(s: Carry):
+        return (~s.converged) & (s.outer < opts.iterations_outer) \
+            & (s.inner_iters < opts.iterations)
+
+    def body(s: Carry):
+        cost_fn, expand_fn = make_al_functions(obj, blocks, s.lams, s.mus)
+        res = ilqr_solve(
+            model, cost_fn, expand_fn, x0, s.xs, s.us, times, dts, opts,
+            max_iters=opts.iterations_inner,
+            cost_tol=opts.cost_tolerance_intermediate,
+            grad_tol=opts.gradient_tolerance_intermediate,
+        )
+        cvals = eval_blocks(blocks, res.xs, res.us)
+        viol = max_violation_blocks(blocks, cvals)
+        lams_n = update_duals(blocks, s.lams, s.mus, cvals, opts)
+        converged = viol < opts.constraint_tolerance
+        # Scale penalties only while infeasible, and (conditional/Bertsekas
+        # update) only when the violation is not already shrinking fast
+        # enough for dual updates alone.
+        if opts.penalty_conditional:
+            keep = converged | (viol < opts.penalty_conditional_ratio * s.viol)
+        else:
+            keep = converged
+        mus_n = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(keep, old, new),
+            update_penalties(s.mus, opts), s.mus,
+        )
+        J_true = obj.cost(res.xs, res.us)
+        return Carry(
+            xs=res.xs, us=res.us, lams=lams_n, mus=mus_n, J=J_true, viol=viol,
+            grad=res.gradient, inner_iters=s.inner_iters + res.iterations,
+            outer=s.outer + 1, converged=converged,
+            failed=res.failed,
+        )
+
+    init = Carry(
+        xs=xs0, us=us_init, lams=lams, mus=mus,
+        J=obj.cost(xs0, us_init),
+        viol=jnp.full((), jnp.inf, dtype),
+        grad=jnp.full((), jnp.inf, dtype),
+        inner_iters=jnp.zeros((), jnp.int32),
+        outer=jnp.zeros((), jnp.int32),
+        converged=jnp.array(False),
+        failed=jnp.array(False),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+
+    # Final polish: one more inner solve at the tight tolerance with the
+    # converged duals (Altro runs the last AL solve to cost_tolerance).
+    cost_fn, expand_fn = make_al_functions(obj, blocks, out.lams, out.mus)
+    res = ilqr_solve(
+        model, cost_fn, expand_fn, x0, out.xs, out.us, times, dts, opts,
+        max_iters=opts.iterations_inner,
+        cost_tol=opts.cost_tolerance,
+        grad_tol=opts.gradient_tolerance,
+    )
+    cvals = eval_blocks(blocks, res.xs, res.us)
+    viol = max_violation_blocks(blocks, cvals)
+    return ALSolution(
+        xs=res.xs, us=res.us, J=obj.cost(res.xs, res.us),
+        max_violation=viol,
+        iterations=out.inner_iters + res.iterations,
+        outer_iterations=out.outer,
+        gradient=res.gradient,
+        converged=out.converged & (viol < opts.constraint_tolerance),
+        duals=out.lams, penalties=out.mus,
+    )

@@ -1,0 +1,140 @@
+"""ALTRO solver: the user-facing solve entry points.
+
+Mirrors the Altro.jl surface consumed by the reference's examples
+(examples/Cartpole.ipynb: ``ALTROSolver(prob, opts); solve!(altro)``;
+docs/old/solver_interface.md: a solver implements get_model / get_objective /
+get_trajectory / solve!, and constrained solvers add get_constraints /
+max_violation).
+
+Phase 1 is the AL-iLQR loop (al.py).  Phase 2 (projected-Newton polish) is
+optional via ``opts.projected_newton`` (projection.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..problem import Problem
+from .al import ALSolution, ConstraintBlock, al_solve
+from .options import SolverOptions
+
+__all__ = ["ALTROSolver", "iLQRSolver", "solve", "solve_problem"]
+
+
+def _problem_blocks(prob: Problem):
+    return tuple(ConstraintBlock(con=c, inds=i)
+                 for i, c in prob.constraints.zip())
+
+
+def solve_problem(prob: Problem, opts: Optional[SolverOptions] = None,
+                  jit: bool = True) -> ALSolution:
+    """Solve a Problem with AL-iLQR/ALTRO; one compiled call."""
+    opts = opts or SolverOptions()
+    blocks = _problem_blocks(prob)
+    model = prob.model
+
+    def _solve(obj, block_tuple, x0, us, times, dts, xs):
+        return al_solve(model, obj, block_tuple, x0, us, times, dts, opts,
+                        xs_init=xs)
+
+    fn = jax.jit(_solve) if jit else _solve
+    sol = fn(prob.obj, blocks, prob.x0, prob.us, prob.times, prob.dts, prob.xs)
+    if opts.projected_newton:
+        from .projection import projected_newton
+        sol = projected_newton(model, prob.obj, blocks, prob.x0, sol,
+                               prob.times, prob.dts, opts)
+    return sol
+
+
+solve = solve_problem
+
+
+class ALTROSolver:
+    """Stateful wrapper with the reference's solver interface
+    (docs/old/solver_interface.md).
+
+    >>> solver = ALTROSolver(prob, SolverOptions(penalty_scaling=100.0))
+    >>> solver.solve()
+    >>> solver.cost(), solver.max_violation(), solver.iterations()
+    """
+
+    def __init__(self, prob: Problem, opts: Optional[SolverOptions] = None):
+        self.prob = prob
+        self.opts = opts or SolverOptions()
+        self.solution: Optional[ALSolution] = None
+
+    # -- solver interface -----------------------------------------------------
+    def solve(self) -> ALSolution:
+        self.solution = solve_problem(self.prob, self.opts)
+        return self.solution
+
+    def get_model(self):
+        return self.prob.model
+
+    def get_objective(self):
+        return self.prob.obj
+
+    def get_constraints(self):
+        return self.prob.constraints
+
+    def get_trajectory(self):
+        self._require_solution()
+        return self.solution.xs, self.solution.us
+
+    def states(self):
+        self._require_solution()
+        return self.solution.xs
+
+    def controls(self):
+        self._require_solution()
+        return self.solution.us[:-1]
+
+    def cost(self) -> float:
+        self._require_solution()
+        return float(self.solution.J)
+
+    def max_violation(self) -> float:
+        self._require_solution()
+        return float(self.solution.max_violation)
+
+    def iterations(self) -> int:
+        self._require_solution()
+        return int(self.solution.iterations)
+
+    def set_options(self, **kw):
+        self.opts = self.opts.replace(**kw)
+        return self
+
+    def initial_controls(self, U0):
+        self.prob.initial_controls(U0)
+        return self
+
+    def initial_states(self, X0):
+        self.prob.initial_states(X0)
+        return self
+
+    def _require_solution(self):
+        if self.solution is None:
+            raise RuntimeError("call solve() first")
+
+
+class iLQRSolver(ALTROSolver):
+    """Unconstrained inner solver exposed standalone (Cartpole.ipynb:
+    ``Altro.iLQRSolver(prob, opts)``): ignores the constraint list."""
+
+    def solve(self) -> ALSolution:
+        prob = self.prob
+        blocks = ()
+        model = prob.model
+
+        def _solve(obj, x0, us, times, dts, xs):
+            return al_solve(model, obj, blocks, x0, us, times, dts, self.opts,
+                            xs_init=xs)
+
+        sol = jax.jit(_solve)(prob.obj, prob.x0, prob.us, prob.times,
+                              prob.dts, prob.xs)
+        self.solution = sol
+        return sol

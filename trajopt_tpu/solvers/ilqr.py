@@ -1,0 +1,255 @@
+"""iLQR: Riccati backward pass + closed-loop forward pass with line search.
+
+The inner unconstrained solver of the AL-iLQR/ALTRO stack (SURVEY.md §3.5;
+/root/reference/docs/old/solvers.md: iLQR < AugmentedLagrangian < ALTRO).
+
+TPU-first design notes:
+  * The backward Riccati recursion is a single ``lax.scan`` over the knot
+    axis with (n+m)-sized dense blocks — small matrices that batch across
+    thousands of scenarios under ``vmap`` (the scenario axis is where the
+    hardware parallelism lives; see parallel/batch.py).
+  * Regularization failure (non-PD Quu) does not branch per knot: the scan
+    carries a failure flag, and a ``lax.while_loop`` around the whole pass
+    re-runs it with a larger rho — the Tassa-style delta-doubling schedule.
+  * The forward pass is a ``lax.scan`` rollout nested in a
+    ``lax.while_loop`` backtracking line search on the expected-decrease
+    ratio z = dJ / (-alpha*dV1 - alpha^2*dV2).
+  * The cost/expansion callables are injected, so the same machine solves
+    the raw objective (iLQR) and the AL-augmented objective (AL-iLQR).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..dynamics import DiscreteModel
+from .options import SolverOptions
+
+__all__ = ["ilqr_solve", "ILQRResult"]
+
+
+@struct.dataclass
+class ILQRResult:
+    xs: jax.Array
+    us: jax.Array
+    J: jax.Array
+    iterations: jax.Array
+    gradient: jax.Array
+    dJ: jax.Array
+    rho: jax.Array
+    stall_count: jax.Array  # consecutive iterations with no real progress
+    converged: jax.Array
+    failed: jax.Array  # regularization or line-search breakdown
+
+
+class _BackwardOut(NamedTuple):
+    K: jax.Array  # (N-1, m, n)
+    d: jax.Array  # (N-1, m)
+    dV1: jax.Array
+    dV2: jax.Array
+    rho: jax.Array
+    drho: jax.Array
+    fail: jax.Array
+
+
+def _psd_solve(L, rhs):
+    return jax.scipy.linalg.cho_solve((L, True), rhs)
+
+
+def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drho,
+                   opts: SolverOptions) -> _BackwardOut:
+    """Regularized Riccati recursion (SURVEY.md §3.5 'backward Riccati pass
+    w/ Quu regularization')."""
+    n, m = xs.shape[-1], us.shape[-1]
+    dtype = xs.dtype
+
+    jac = jax.vmap(model.jacobian)
+    exp = expand_fn(xs, us)
+
+    def run_once(rho):
+        A, B = jac(xs[:-1], us[:-1], times[:-1], dts[:-1])
+        Vx = exp.x[-1]
+        Vxx = exp.xx[-1]
+        eye_m = jnp.eye(m, dtype=dtype)
+
+        def bp_step(carry, inp):
+            Vx, Vxx, dV1, dV2, fail = carry
+            A_k, B_k, lxx, luu, lux, lx, lu = inp
+            Qx = lx + A_k.T @ Vx
+            Qu = lu + B_k.T @ Vx
+            Qxx = lxx + A_k.T @ Vxx @ A_k
+            Quu = luu + B_k.T @ Vxx @ B_k
+            Qux = lux + B_k.T @ Vxx @ A_k
+            Quu_reg = Quu + rho * eye_m
+
+            L = jnp.linalg.cholesky(0.5 * (Quu_reg + Quu_reg.T))
+            bad = jnp.any(jnp.isnan(L))
+            L_safe = jnp.where(bad, eye_m, L)
+            K = -_psd_solve(L_safe, Qux)
+            d = -_psd_solve(L_safe, Qu)
+
+            Vx_n = Qx + K.T @ Quu @ d + K.T @ Qu + Qux.T @ d
+            Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+            Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+            dV1_n = dV1 + d @ Qu
+            dV2_n = dV2 + 0.5 * d @ Quu @ d
+            fail_n = fail | bad | jnp.any(jnp.isnan(Vx_n)) | jnp.any(jnp.isnan(Vxx_n))
+            return (Vx_n, Vxx_n, dV1_n, dV2_n, fail_n), (K, d)
+
+        zero = jnp.zeros((), dtype)
+        inputs = (A, B, exp.xx[:-1], exp.uu[:-1], exp.ux[:-1], exp.x[:-1], exp.u[:-1])
+        (Vx, Vxx, dV1, dV2, fail), (K, d) = jax.lax.scan(
+            bp_step, (Vx, Vxx, zero, zero, jnp.array(False)), inputs, reverse=True
+        )
+        return K, d, dV1, dV2, fail
+
+    # Re-run the whole pass with increased rho until Quu is PD everywhere
+    # (bounded retries; Tassa delta-doubling schedule).
+    def cond(state):
+        _, _, _, _, fail, _, _, tries = state
+        return fail & (tries < opts.bp_reg_fail_limit)
+
+    def body(state):
+        K, d, dV1, dV2, fail, rho, drho, tries = state
+        drho_n = jnp.maximum(drho * opts.bp_reg_increase_factor,
+                             opts.bp_reg_increase_factor)
+        rho_n = jnp.clip(jnp.maximum(rho * drho_n, opts.bp_reg_min),
+                         0.0, opts.bp_reg_max)
+        K, d, dV1, dV2, fail = run_once(rho_n)
+        return (K, d, dV1, dV2, fail, rho_n, drho_n, tries + 1)
+
+    K, d, dV1, dV2, fail = run_once(rho)
+    state = (K, d, dV1, dV2, fail, rho, drho, jnp.zeros((), jnp.int32))
+    K, d, dV1, dV2, fail, rho, drho, _ = jax.lax.while_loop(cond, body, state)
+    return _BackwardOut(K=K, d=d, dV1=dV1, dV2=dV2, rho=rho, drho=drho, fail=fail)
+
+
+def _closed_loop_rollout(model: DiscreteModel, xs_ref, us_ref, K, d, alpha, x0,
+                         times, dts, max_state: float):
+    """x_{k+1} = f(x_k, u_ref_k + alpha d_k + K_k (x_k - x_ref_k))."""
+
+    def step(x, inp):
+        x_ref, u_ref, K_k, d_k, t, dt = inp
+        u = u_ref + alpha * d_k + K_k @ (x - x_ref)
+        xn = model.step(x, u, t, dt)
+        xn = jnp.clip(xn, -max_state, max_state)
+        return xn, (xn, u)
+
+    inputs = (xs_ref[:-1], us_ref[:-1], K, d, times[:-1], dts[:-1])
+    _, (xs_tail, us_new) = jax.lax.scan(step, x0, inputs)
+    xs = jnp.concatenate([x0[None], xs_tail], axis=0)
+    us = jnp.concatenate([us_new, jnp.zeros_like(us_ref[-1:])], axis=0)
+    return xs, us
+
+
+def _forward_pass(model, cost_fn, xs, us, K, d, dV1, dV2, J0, x0, times, dts,
+                  opts: SolverOptions):
+    """Backtracking line search on the expected-decrease ratio
+    (SURVEY.md §3.5 'forward rollout + line search')."""
+    dtype = xs.dtype
+
+    def try_alpha(alpha):
+        xs_n, us_n = _closed_loop_rollout(model, xs, us, K, d, alpha, x0, times,
+                                          dts, opts.max_state_value)
+        J = cost_fn(xs_n, us_n)
+        return xs_n, us_n, J
+
+    def cond(state):
+        alpha, accepted, it, *_ = state
+        return (~accepted) & (it < opts.iterations_linesearch)
+
+    def body(state):
+        alpha, accepted, it, xs_c, us_c, J_c = state
+        xs_n, us_n, J = try_alpha(alpha)
+        expected = -(alpha * dV1 + alpha * alpha * dV2)
+        dJ = J0 - J
+        z = dJ / jnp.maximum(expected, 1e-30)
+        ok_expected = (expected > 0) & (z > opts.line_search_lower_bound) & (
+            z < opts.line_search_upper_bound)
+        ok_fallback = (expected <= 0) & (dJ > 0)
+        ok = (ok_expected | ok_fallback) & jnp.isfinite(J)
+        xs_c = jnp.where(ok, xs_n, xs_c)
+        us_c = jnp.where(ok, us_n, us_c)
+        J_c = jnp.where(ok, J, J_c)
+        return (alpha * opts.line_search_decrease_factor, accepted | ok, it + 1,
+                xs_c, us_c, J_c)
+
+    state = (jnp.ones((), dtype), jnp.array(False), jnp.zeros((), jnp.int32),
+             xs, us, J0)
+    _, accepted, _, xs_n, us_n, J_n = jax.lax.while_loop(cond, body, state)
+    return xs_n, us_n, J_n, ~accepted
+
+
+def ilqr_solve(
+    model: DiscreteModel,
+    cost_fn: Callable,
+    expand_fn: Callable,
+    x0: jax.Array,
+    xs: jax.Array,
+    us: jax.Array,
+    times: jax.Array,
+    dts: jax.Array,
+    opts: SolverOptions,
+    max_iters: int = None,
+    cost_tol: float = None,
+    grad_tol: float = None,
+) -> ILQRResult:
+    """Solve min cost_fn(xs, us) s.t. dynamics, from a dynamically-feasible
+    (xs, us).  Fully jittable / vmappable."""
+    max_iters = opts.iterations_inner if max_iters is None else max_iters
+    cost_tol = opts.cost_tolerance if cost_tol is None else cost_tol
+    grad_tol = opts.gradient_tolerance if grad_tol is None else grad_tol
+    dtype = xs.dtype
+    J0 = cost_fn(xs, us)
+
+    def cond(s: ILQRResult):
+        return (~s.converged) & (~s.failed) & (s.iterations < max_iters)
+
+    def body(s: ILQRResult):
+        bp = _backward_pass(model, expand_fn, s.xs, s.us, times, dts, s.rho,
+                            jnp.ones((), dtype), opts)
+        xs_n, us_n, J_n, ls_failed = _forward_pass(
+            model, cost_fn, s.xs, s.us, bp.K, bp.d, bp.dV1, bp.dV2, s.J, x0,
+            times, dts, opts)
+        # Altro's gradient metric: mean over knots of max_i |d_i|/(|u_i|+1).
+        grad = jnp.mean(jnp.max(jnp.abs(bp.d) / (jnp.abs(s.us[:-1]) + 1), axis=-1))
+        dJ = s.J - J_n
+        expected = -(bp.dV1 + bp.dV2)  # predicted decrease at alpha = 1
+        # Termination (Altro's evaluate_convergence): accepted step with BOTH
+        # small cost change and small gradient; or the predicted decrease is
+        # already below tolerance at a stalled line search (we are at the
+        # optimum and backtracking cannot beat floating-point noise); or
+        # dJ_counter_limit consecutive zero-progress iterations.
+        conv_cost = (~ls_failed) & (dJ >= 0) & (dJ < cost_tol) & (grad < grad_tol)
+        conv_stall = ls_failed & (expected < cost_tol)
+        no_progress = ls_failed | ((dJ >= 0) & (dJ < cost_tol))
+        stall_count = jnp.where(no_progress, s.stall_count + 1, 0)
+        converged = conv_cost | conv_stall | (stall_count >= opts.dJ_counter_limit)
+        # On a genuine line-search breakdown: bump regularization and retry;
+        # declare failure only when rho saturates.
+        bump = ls_failed & (~converged)
+        rho_n = jnp.where(bump,
+                          jnp.maximum(bp.rho * opts.bp_reg_increase_factor,
+                                      opts.bp_reg_min),
+                          bp.rho)
+        failed = bp.fail | (bump & (rho_n >= opts.bp_reg_max))
+        return ILQRResult(
+            xs=xs_n, us=us_n, J=J_n, iterations=s.iterations + 1,
+            gradient=grad, dJ=dJ, rho=rho_n, stall_count=stall_count,
+            converged=converged, failed=failed,
+        )
+
+    init = ILQRResult(
+        xs=xs, us=us, J=J0,
+        iterations=jnp.zeros((), jnp.int32),
+        gradient=jnp.full((), jnp.inf, dtype),
+        dJ=jnp.full((), jnp.inf, dtype),
+        rho=jnp.asarray(opts.bp_reg_initial, dtype),
+        stall_count=jnp.zeros((), jnp.int32),
+        converged=jnp.array(False),
+        failed=jnp.array(False),
+    )
+    return jax.lax.while_loop(cond, body, init)

@@ -1,0 +1,66 @@
+"""Solver options.
+
+Reference-parity option names (Altro.jl ``SolverOptions`` as used in the
+reference's examples: ``cost_tolerance_intermediate``, ``penalty_scaling``,
+``penalty_initial`` — examples/Cartpole.ipynb, examples/Quadrotor.ipynb;
+nested docs at /root/reference/docs/old/solving.md).
+
+This is a plain frozen dataclass of Python scalars: options are trace-time
+constants (the TPU analog of the reference's type-level dispatch on options),
+so changing an option re-specializes the compiled solver.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["SolverOptions"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    # -- termination ----------------------------------------------------------
+    cost_tolerance: float = 1e-4
+    cost_tolerance_intermediate: float = 1e-4
+    gradient_tolerance: float = 1e-5
+    gradient_tolerance_intermediate: float = 1e-5
+    constraint_tolerance: float = 1e-6
+    iterations: int = 300          # total inner (iLQR) iteration cap
+    iterations_outer: int = 30     # AL dual/penalty updates
+    iterations_inner: int = 100    # iLQR iterations per AL step
+    dJ_counter_limit: int = 10     # consecutive zero-progress iLQR iterations
+
+    # -- augmented Lagrangian (docs/old/solving.md; Cartpole/Quadrotor.ipynb)
+    penalty_initial: float = 1.0
+    penalty_scaling: float = 10.0
+    penalty_max: float = 1e8
+    dual_max: float = 1e8
+    # Conditional (Bertsekas) penalty update: scale mu only when the max
+    # violation failed to drop by this factor, so mu stays as small as the
+    # dual updates allow — at huge mu the iLQR quadratic model degrades on
+    # unstable dynamics and the inner solver stalls.
+    penalty_conditional: bool = True
+    penalty_conditional_ratio: float = 0.25
+
+    # -- backward-pass regularization ----------------------------------------
+    bp_reg_initial: float = 0.0
+    bp_reg_increase_factor: float = 1.6
+    bp_reg_min: float = 1e-8
+    bp_reg_max: float = 1e8
+    bp_reg_fail_limit: int = 25    # consecutive failed backward passes
+
+    # -- forward line search --------------------------------------------------
+    line_search_lower_bound: float = 1e-8
+    line_search_upper_bound: float = 10.0
+    line_search_decrease_factor: float = 0.5
+    iterations_linesearch: int = 20
+
+    # -- safeguards -----------------------------------------------------------
+    max_cost_value: float = 1e12
+    max_state_value: float = 1e12
+
+    # -- projected-Newton solution polish (ALTRO phase 2) --------------------
+    projected_newton: bool = False
+    projected_newton_tolerance: float = 1e-3
+
+    def replace(self, **kw) -> "SolverOptions":
+        return dataclasses.replace(self, **kw)
