@@ -1,0 +1,118 @@
+"""Cost tests — mirrors test/cost_tests.jl: ctor paths, addition,
+gradient/Hessian vs closed forms and AD (cost_tests.jl:229-281)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajopt_tpu.costs import (
+    DiagonalCost, DiagonalQuatCost, LQRCost, QuadraticCost, QuatLQRCost,
+)
+
+
+@pytest.fixture
+def dims(rng):
+    # Seeded randomized dims like cost_tests.jl:32 (n,m = rand(10:20), rand(5:10))
+    return int(rng.integers(10, 21)), int(rng.integers(5, 11))
+
+
+def test_quadratic_cost_eval_and_expansion(rng, dims):
+    n, m = dims
+    Q = rng.standard_normal((n, n)); Q = Q @ Q.T + n * np.eye(n)
+    R = rng.standard_normal((m, m)); R = R @ R.T + m * np.eye(m)
+    H = rng.standard_normal((m, n))
+    q = rng.standard_normal(n); r = rng.standard_normal(m); c = rng.standard_normal()
+    cost = QuadraticCost.create(Q, R, H=H, q=q, r=r, c=c)
+    x = jnp.asarray(rng.standard_normal(n)); u = jnp.asarray(rng.standard_normal(m))
+    J = 0.5 * x @ Q @ x + 0.5 * u @ R @ u + u @ H @ x + q @ x + r @ u + c
+    assert float(cost.stage_cost(x, u)) == pytest.approx(float(J))
+
+    e = cost.expansion(x, u)
+    gx = jax.grad(lambda x: cost.stage_cost(x, u))(x)
+    gu = jax.grad(lambda u: cost.stage_cost(x, u))(u)
+    assert np.allclose(e.x, gx) and np.allclose(e.u, gu)
+    assert np.allclose(e.xx, jax.hessian(lambda x: cost.stage_cost(x, u))(x))
+    assert np.allclose(e.uu, jax.hessian(lambda u: cost.stage_cost(x, u))(u))
+    assert np.allclose(e.ux, jax.jacfwd(jax.grad(
+        lambda u, x: cost.stage_cost(x, u)), argnums=1)(u, x))
+    # terminal drops control terms (cost_functions.jl:92,141)
+    assert float(cost.term_cost(x)) == pytest.approx(
+        float(0.5 * x @ Q @ x + q @ x + c))
+    et = cost.term_expansion(x)
+    assert np.allclose(et.u, 0) and np.allclose(et.uu, 0) and np.allclose(et.ux, 0)
+
+
+def test_diagonal_cost_matches_dense(rng, dims):
+    n, m = dims
+    Qd = rng.random(n) + 0.1; Rd = rng.random(m) + 0.1
+    q = rng.standard_normal(n); r = rng.standard_normal(m)
+    dc = DiagonalCost.create(Qd, Rd, q=q, r=r, c=0.3)
+    qc = QuadraticCost.create(np.diag(Qd), np.diag(Rd), q=q, r=r, c=0.3)
+    x = jnp.asarray(rng.standard_normal(n)); u = jnp.asarray(rng.standard_normal(m))
+    assert float(dc.stage_cost(x, u)) == pytest.approx(float(qc.stage_cost(x, u)))
+    e1, e2 = dc.expansion(x, u), qc.expansion(x, u)
+    for f in ("x", "u", "xx", "uu", "ux"):
+        assert np.allclose(getattr(e1, f), getattr(e2, f))
+
+
+def test_lqr_cost(rng, dims):
+    # LQRCost = 1/2 (x-xf)'Q(x-xf) + 1/2 (u-uf)'R(u-uf) (cost_functions.jl:532-547)
+    n, m = dims
+    Q = rng.random(n) + 0.1; R = rng.random(m) + 0.1
+    xf = rng.standard_normal(n); uf = rng.standard_normal(m)
+    cost = LQRCost(Q, R, xf, uf=uf)
+    assert isinstance(cost, DiagonalCost)
+    x = jnp.asarray(rng.standard_normal(n)); u = jnp.asarray(rng.standard_normal(m))
+    expect = 0.5 * (x - xf) @ (Q * (x - xf)) + 0.5 * (u - uf) @ (R * (u - uf))
+    assert float(cost.stage_cost(x, u)) == pytest.approx(float(expect))
+    # zero at the reference point
+    assert float(cost.stage_cost(jnp.asarray(xf), jnp.asarray(uf))) == pytest.approx(0.0, abs=1e-9)
+    # dense path
+    cost_d = LQRCost(np.diag(Q), np.diag(R), xf, uf=uf)
+    assert isinstance(cost_d, QuadraticCost)
+    assert float(cost_d.stage_cost(x, u)) == pytest.approx(float(expect))
+
+
+def test_cost_addition(rng, dims):
+    # cost_functions.jl:260-270
+    n, m = dims
+    c1 = LQRCost(rng.random(n), rng.random(m), rng.standard_normal(n))
+    c2 = LQRCost(rng.random(n), rng.random(m), rng.standard_normal(n))
+    c3 = c1 + c2
+    x = jnp.asarray(rng.standard_normal(n)); u = jnp.asarray(rng.standard_normal(m))
+    assert float(c3.stage_cost(x, u)) == pytest.approx(
+        float(c1.stage_cost(x, u)) + float(c2.stage_cost(x, u)))
+
+
+def test_quat_cost_gradient_sign(rng):
+    """DiagonalQuatCost geodesic term w*min(1 +- qf'q) with sign-aware
+    gradient (lie_costs.jl:68-95) vs AD on both sign branches."""
+    n, m = 13, 4
+    Qd = rng.random(n) * 0.01; Rd = rng.random(m) * 0.01
+    xf = rng.standard_normal(n)
+    qf = rng.standard_normal(4); qf = qf / np.linalg.norm(qf)
+    xf[3:7] = qf
+    cost = QuatLQRCost(Qd, Rd, xf, w=2.5)
+    u = jnp.asarray(rng.standard_normal(m))
+
+    for sign in (+1, -1):
+        x = rng.standard_normal(n)
+        q = sign * qf + 0.3 * rng.standard_normal(4)
+        x[3:7] = q / np.linalg.norm(q)
+        x = jnp.asarray(x)
+        e = cost.expansion(x, u)
+        gx = jax.grad(lambda x: cost.stage_cost(x, u))(x)
+        gu = jax.grad(lambda u: cost.stage_cost(x, u))(u)
+        assert np.allclose(e.x, gx, atol=1e-9)
+        assert np.allclose(e.u, gu, atol=1e-9)
+
+
+def test_quat_cost_addition(rng):
+    n, m = 13, 4
+    c1 = QuatLQRCost(rng.random(n), rng.random(m), rng.standard_normal(n), w=1.0)
+    c2 = LQRCost(rng.random(n), rng.random(m), rng.standard_normal(n))
+    c3 = c1 + c2
+    assert isinstance(c3, DiagonalQuatCost)
+    x = jnp.asarray(rng.standard_normal(n)); u = jnp.asarray(rng.standard_normal(m))
+    assert float(c3.stage_cost(x, u)) == pytest.approx(
+        float(c1.stage_cost(x, u)) + float(c2.stage_cost(x, u)))

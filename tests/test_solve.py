@@ -1,0 +1,132 @@
+"""End-to-end solver tests on the BASELINE benchmark configs (SURVEY.md §6):
+quickstart block-move, cartpole swing-up, dubins parallel-park (with the
+reference's recorded Ipopt optimum as the quality gate), rocket SOCP."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import trajopt_tpu as to
+from trajopt_tpu.models import Cartpole, DoubleIntegrator, DubinsCar, Rocket
+from trajopt_tpu.models.rocket import thrust_cone_constraint
+from trajopt_tpu.solvers import ALTROSolver, SolverOptions, iLQRSolver
+
+
+def test_ilqr_lqr_one_step(rng):
+    """On an LQR problem (linear dynamics, quadratic cost) iLQR converges in
+    one iteration — the Riccati pass IS the exact solution."""
+    model = DoubleIntegrator(d=2)
+    N = 11
+    xf = jnp.array([0.0, 2.0, 0.0, 0.0])
+    obj = to.LQRObjective(jnp.ones(4), jnp.ones(2), 10 * jnp.ones(4), xf, N)
+    prob = to.Problem(model, obj, jnp.zeros(4), 2.0, xf=xf)
+    solver = iLQRSolver(prob)
+    sol = solver.solve()
+    assert bool(sol.converged)
+    assert int(sol.iterations) <= 3
+    assert float(sol.gradient) < 1e-6
+
+
+def test_quickstart_solve(rng):
+    """The minimum end-to-end slice (SURVEY.md §7): LQR + goal + circle
+    obstacle + SOC control norm + control bounds."""
+    model = DoubleIntegrator(d=2)
+    n, m, N, tf = 4, 2, 21, 3.0
+    x0 = jnp.zeros(4)
+    xf = jnp.array([0.0, 2.0, 0.0, 0.0])
+    obj = to.LQRObjective(jnp.ones(n), jnp.ones(m), jnp.ones(n) * (N - 1), xf, N)
+    cons = to.ConstraintList(n, m, N)
+    cons.add_constraint(to.GoalConstraint.create(xf, m=m), N - 1)
+    cons.add_constraint(to.CircleConstraint.create(n, [0.0], [1.0], [0.5], m=m),
+                        range(1, N - 1))
+    cons.add_constraint(to.NormConstraint.create(n, m, 5.0, to.SecondOrderCone,
+                                                 "control"), range(N - 1))
+    cons.add_constraint(to.BoundConstraint.create(n, m, u_min=-10, u_max=10),
+                        range(N - 1))
+    prob = to.Problem(model, obj, x0, tf, xf=xf, constraints=cons)
+    # break the left/right symmetry of the obstacle
+    prob.initial_controls(0.01 * jax.random.normal(jax.random.PRNGKey(1), (N - 1, m)))
+    solver = ALTROSolver(prob)
+    sol = solver.solve()
+    assert bool(sol.converged)
+    assert solver.max_violation() < 1e-6
+    assert float(jnp.max(jnp.abs(sol.xs[-1] - xf))) < 1e-6
+    assert float(jnp.max(jnp.linalg.norm(sol.us[:-1], axis=-1))) < 5.0 + 1e-6
+    d = jnp.sqrt(sol.xs[1:N-1, 0] ** 2 + (sol.xs[1:N-1, 1] - 1.0) ** 2)
+    assert float(jnp.min(d)) > 0.5 - 1e-6
+
+
+def test_cartpole_swingup():
+    """Cartpole swing-up benchmark (examples/Cartpole.ipynb config)."""
+    model = Cartpole()
+    n, m, N, tf = 4, 1, 101, 5.0
+    xf = jnp.array([0.0, jnp.pi, 0.0, 0.0])
+    obj = to.LQRObjective(1e-2 * jnp.ones(n), 1e-1 * jnp.ones(m),
+                          100.0 * jnp.ones(n), xf, N)
+    cons = to.ConstraintList(n, m, N)
+    cons.add_constraint(to.BoundConstraint.create(n, m, u_min=-3.0, u_max=3.0),
+                        range(N - 1))
+    cons.add_constraint(to.GoalConstraint.create(xf, m=m), N - 1)
+    prob = to.Problem(model, obj, jnp.zeros(4), tf, xf=xf, constraints=cons)
+    prob.initial_controls(jnp.full((N - 1, m), 0.01))
+    solver = ALTROSolver(prob, SolverOptions(cost_tolerance_intermediate=1e-2))
+    sol = solver.solve()
+    assert bool(sol.converged)
+    assert solver.max_violation() < 1e-6
+    assert abs(float(sol.xs[-1, 1]) - np.pi) < 1e-6
+    assert float(jnp.max(jnp.abs(sol.us[:-1]))) <= 3.0 + 1e-6
+
+
+def test_dubins_parallel_park_matches_reference_optimum():
+    """DubinsCar parallel park (test/test_models.jl:105-143).  The reference
+    records the Ipopt optimum in v0.5 dt-scaled cost semantics:
+    cost < 0.0541, max_violation < 1e-11 (test/moi_test.jl:22-27).  Our
+    unscaled cost times dt must land under the same bound."""
+    model = DubinsCar()
+    n, m, N, tf = 3, 2, 101, 3.0
+    xf = jnp.array([0.0, 1.5, 0.0])
+    obj = to.LQRObjective(1e-2 * jnp.ones(n), 1e-2 * jnp.ones(m),
+                          100.0 * jnp.ones(n), xf, N)
+    cons = to.ConstraintList(n, m, N)
+    cons.add_constraint(to.BoundConstraint.create(n, m, u_min=-2.0, u_max=2.0),
+                        range(N - 1))
+    cons.add_constraint(
+        to.BoundConstraint.create(n, m, x_min=[-0.25, -0.001, -np.inf],
+                                  x_max=[0.25, 1.501, np.inf]), range(1, N - 1))
+    cons.add_constraint(to.GoalConstraint.create(xf, m=m), N - 1)
+    prob = to.Problem(model, obj, jnp.zeros(3), tf, xf=xf, constraints=cons)
+    prob.initial_controls(jnp.full((N - 1, m), 0.1))
+    solver = ALTROSolver(prob, SolverOptions(cost_tolerance_intermediate=1e-2))
+    sol = solver.solve()
+    assert bool(sol.converged)
+    assert solver.max_violation() < 1e-6
+    dt = tf / (N - 1)
+    assert solver.cost() * dt < 0.0541  # moi_test.jl:22
+    assert float(jnp.linalg.norm(sol.xs[-1] - xf)) < 1e-6  # moi_test.jl:26
+
+
+def test_rocket_socp():
+    """Rocket soft landing with SOC thrust constraints (BASELINE config 4)."""
+    model = Rocket(mass=10.0)
+    n, m, N, tf = 6, 3, 51, 8.0
+    x0 = jnp.array([4.0, 2.0, 20.0, -3.0, 2.0, -5.0])
+    xf = jnp.zeros(6)
+    obj = to.LQRObjective(1e-2 * jnp.ones(n), 1e-1 * jnp.ones(m),
+                          100.0 * jnp.ones(n), xf, N)
+    cons = to.ConstraintList(n, m, N)
+    cons.add_constraint(to.GoalConstraint.create(xf, m=m), N - 1)
+    cons.add_constraint(to.NormConstraint.create(n, m, 3 * 10.0 * 9.81,
+                                                 to.SecondOrderCone, "control"),
+                        range(N - 1))
+    cons.add_constraint(thrust_cone_constraint(n, m, np.pi / 4), range(N - 1))
+    prob = to.Problem(model, obj, x0, tf, xf=xf, constraints=cons)
+    prob.initial_controls(jnp.tile(jnp.array([0.0, 0.0, 98.1]), (N - 1, 1)))
+    solver = ALTROSolver(prob)
+    sol = solver.solve()
+    assert bool(sol.converged)
+    assert solver.max_violation() < 1e-6
+    assert float(jnp.max(jnp.abs(sol.xs[-1]))) < 1e-6
+    u = sol.us[:-1]
+    assert float(jnp.max(jnp.linalg.norm(u, axis=-1))) <= 3 * 98.1 + 1e-5
+    assert bool(jnp.all(jnp.linalg.norm(u[:, :2], axis=-1)
+                        <= np.tan(np.pi / 4) * u[:, 2] + 1e-6))
