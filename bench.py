@@ -1,0 +1,148 @@
+"""Benchmark: batched receding-horizon quadrotor MPC solves/s on one chip.
+
+BASELINE.json config 5: "Batched receding-horizon quadrotor MPC, 4096
+scenarios"; target >= 1000 batched solves/s/chip.  One MPC "solve" is a
+warm-started AL-iLQR re-solve (shifted trajectory + duals, perturbed
+measured state) with a bounded iteration budget — the production MPC cycle.
+
+Prints ONE JSON line:
+  {"metric": "quadrotor_mpc_batched", "value": <solves/s>, "unit":
+   "solves/s/chip", "vs_baseline": <value/1000>}
+Diagnostics go to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# TPU f32 matmuls default to bf16 passes; the Riccati recursion needs true
+# f32 (SURVEY.md §7 'dual precision modes').
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(B, N, tf, dtype, opts_kw):
+    import trajopt_tpu as to
+    from trajopt_tpu.models import Quadrotor
+    from trajopt_tpu.solvers import ConstraintBlock, SolverOptions
+
+    model = Quadrotor()
+    n, m = 13, 4
+    xf = Quadrotor.build_state([0.0, 10.0, 1.0]).astype(dtype)
+    x0 = Quadrotor.build_state([0.0, -10.0, 1.0]).astype(dtype)
+    Q = jnp.concatenate([jnp.full(3, 1e-3), jnp.full(4, 1e-3),
+                         jnp.full(3, 1e-3), jnp.full(3, 1e-3)]).astype(dtype)
+    R = jnp.full(m, 1e-4, dtype)
+    Qf = jnp.concatenate([jnp.full(3, 10.0), jnp.full(4, 100.0),
+                          jnp.full(3, 10.0), jnp.full(3, 10.0)]).astype(dtype)
+    obj = to.LQRObjective(Q, R, Qf, xf, N)
+    blocks = (
+        ConstraintBlock(
+            con=to.BoundConstraint.create(n, m, u_min=0.0, u_max=12.0),
+            inds=tuple(range(N - 1))),
+    )
+    dm = to.discretize(model, "rk4")
+    times = jnp.linspace(0, tf, N, dtype=dtype)
+    dts = jnp.full(N, tf / (N - 1), dtype).at[-1].set(0.0)
+    opts = SolverOptions(**opts_kw)
+    hover = 0.5 * model.mass * 9.81 / 4
+    return dm, obj, blocks, x0, times, dts, opts, n, m, hover
+
+
+def main():
+    from trajopt_tpu import mpc
+    from trajopt_tpu.solvers import SolverOptions
+    from trajopt_tpu.solvers.al import al_solve
+
+    dtype = jnp.float32
+    B = int(os.environ.get("BENCH_B", 1024))
+    N = int(os.environ.get("BENCH_N", 101))
+    steps = int(os.environ.get("BENCH_STEPS", 5))
+    tf = 5.0
+
+    cold_opts = dict(
+        penalty_scaling=100.0, penalty_initial=0.1,
+        constraint_tolerance=5e-4, cost_tolerance=1e-3,
+        cost_tolerance_intermediate=1e-2, gradient_tolerance=1e-4,
+        gradient_tolerance_intermediate=1e-3, bp_reg_initial=1e-6,
+        iterations=120, iterations_outer=8, iterations_inner=40,
+    )
+    # MPC budget: a bounded warm-started re-solve.
+    mpc_opts = dict(cold_opts)
+    mpc_opts.update(iterations=15, iterations_outer=2, iterations_inner=10)
+
+    dm, obj, blocks, x0, times, dts, opts_cold, n, m, hover = build(
+        B, N, tf, dtype, cold_opts)
+    opts_mpc = SolverOptions(**mpc_opts)
+
+    key = jax.random.PRNGKey(0)
+    kx, kp = jax.random.split(key)
+    x0s = x0[None, :] + 0.05 * jax.random.normal(kx, (B, n), dtype)
+    us0 = jnp.full((B, N, m), hover, dtype)
+
+    log(f"bench: B={B} N={N} dtype={dtype.__name__} device={jax.devices()[0]}")
+
+    # Cold solve (amortized across the MPC horizon; not part of the metric).
+    cold_solve = jax.jit(jax.vmap(
+        lambda a, b: al_solve(dm, obj, blocks, a, b, times, dts, opts_cold)))
+    t0 = time.time()
+    sol = jax.block_until_ready(cold_solve(x0s, us0))
+    log(f"cold solve: {time.time() - t0:.1f}s, converged "
+        f"{int(sol.converged.sum())}/{B}, mean iters {float(sol.iterations.mean()):.1f}, "
+        f"max viol {float(sol.max_violation.max()):.2e}")
+
+    controller = mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts_mpc,
+                                         batched=True)
+
+    def sim_next(sol, key):
+        # measured state: propagate one knot + small disturbance
+        x_next = sol.xs[:, 1]
+        noise = 0.01 * jax.random.normal(key, x_next.shape, dtype)
+        return x_next + noise
+
+    # warmup / compile
+    key, sub = jax.random.split(kp)
+    x_meas = sim_next(sol, sub)
+    t0 = time.time()
+    sol = jax.block_until_ready(controller(x_meas, sol))
+    log(f"mpc step compile+run: {time.time() - t0:.1f}s")
+
+    # timed steady-state MPC steps
+    t0 = time.time()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        x_meas = sim_next(sol, sub)
+        sol = controller(x_meas, sol)
+    jax.block_until_ready(sol)
+    dt_total = time.time() - t0
+    solves_per_s = B * steps / dt_total
+
+    log(f"steady: {steps} steps x {B} scenarios in {dt_total:.2f}s -> "
+        f"{solves_per_s:.1f} solves/s")
+    log(f"mpc quality: mean iters {float(sol.iterations.mean()):.1f}, "
+        f"max viol {float(sol.max_violation.max()):.2e}, "
+        f"median viol {float(jnp.median(sol.max_violation)):.2e}")
+
+    print(json.dumps({
+        "metric": "quadrotor_mpc_batched",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

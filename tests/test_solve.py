@@ -130,3 +130,28 @@ def test_rocket_socp():
     assert float(jnp.max(jnp.linalg.norm(u, axis=-1))) <= 3 * 98.1 + 1e-5
     assert bool(jnp.all(jnp.linalg.norm(u[:, :2], axis=-1)
                         <= np.tan(np.pi / 4) * u[:, 2] + 1e-6))
+
+
+def test_projected_newton_polish():
+    """ALTRO phase 2: projected-Newton polish reaches the reference's
+    direct-solver feasibility grade (max_violation < 1e-11, moi_test.jl:23)."""
+    model = DubinsCar()
+    n, m, N, tf = 3, 2, 101, 3.0
+    xf = jnp.array([0.0, 1.5, 0.0])
+    obj = to.LQRObjective(1e-2 * jnp.ones(n), 1e-2 * jnp.ones(m),
+                          100.0 * jnp.ones(n), xf, N)
+    cons = to.ConstraintList(n, m, N)
+    cons.add_constraint(to.BoundConstraint.create(n, m, u_min=-2.0, u_max=2.0),
+                        range(N - 1))
+    cons.add_constraint(
+        to.BoundConstraint.create(n, m, x_min=[-0.25, -0.001, -np.inf],
+                                  x_max=[0.25, 1.501, np.inf]), range(1, N - 1))
+    cons.add_constraint(to.GoalConstraint.create(xf, m=m), N - 1)
+    prob = to.Problem(model, obj, jnp.zeros(3), tf, xf=xf, constraints=cons)
+    prob.initial_controls(jnp.full((N - 1, m), 0.1))
+    solver = ALTROSolver(prob, SolverOptions(cost_tolerance_intermediate=1e-2,
+                                             projected_newton=True))
+    sol = solver.solve()
+    assert bool(sol.converged)
+    assert solver.max_violation() < 1e-11
+    assert solver.cost() * tf / (N - 1) < 0.0541

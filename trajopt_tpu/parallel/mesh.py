@@ -1,0 +1,104 @@
+"""Multi-device / multi-host sharded solves.
+
+The reference has zero parallelism (SURVEY.md §2.3); this is the build's
+scaling layer: a 1-D device mesh with the SCENARIO axis sharded across
+ICI/DCN.  Per-scenario solves are independent, so the only collective
+traffic is the convergence-flag / throughput reduction (``psum``), exactly
+as laid out in SURVEY.md §5 'Distributed communication backend'.
+
+Usage:
+    mesh = make_mesh()                      # all local devices
+    solve = make_sharded_solver(mesh, ...)  # jit w/ NamedSharding
+    sol, stats = solve(x0s, us0)            # x0s sharded over 'scenarios'
+
+For multi-host, call ``jax.distributed.initialize()`` first; the same mesh
+construction spans hosts and the scenario shards ride ICI within a slice and
+DCN across slices.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dynamics import DiscreteModel
+from ..objective import Objective
+from ..solvers.al import ALSolution, ConstraintBlock, al_solve
+from ..solvers.options import SolverOptions
+
+__all__ = ["make_mesh", "make_sharded_solver", "BatchStats"]
+
+SCENARIO_AXIS = "scenarios"
+
+
+class BatchStats(NamedTuple):
+    """Globally-reduced solve statistics (the psum'd metrics)."""
+
+    num_converged: jax.Array
+    num_scenarios: jax.Array
+    mean_iterations: jax.Array
+    max_violation: jax.Array
+    total_cost: jax.Array
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = SCENARIO_AXIS) -> Mesh:
+    """1-D mesh over the scenario axis (jax.make_mesh analog)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def make_sharded_solver(
+    mesh: Mesh,
+    model: DiscreteModel,
+    obj: Objective,
+    blocks: Sequence[ConstraintBlock],
+    times: jax.Array,
+    dts: jax.Array,
+    opts: SolverOptions,
+):
+    """Build a jitted sharded batch solver.
+
+    Scenario tensors (x0s, us0, and the whole solution pytree) are sharded
+    over the mesh's scenario axis via NamedSharding; XLA partitions the
+    vmapped solve with no per-step collectives (scenarios are independent)
+    and inserts the final psum only for the scalar stats reduction.
+    """
+    blocks = tuple(blocks)
+    axis = mesh.axis_names[0]
+    shard_b = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+
+    def _solve_batch(obj_, x0s, us0):
+        sol = jax.vmap(lambda x0, us: al_solve(model, obj_, blocks, x0, us,
+                                               times, dts, opts))(x0s, us0)
+        stats = BatchStats(
+            num_converged=jnp.sum(sol.converged.astype(jnp.int32)),
+            num_scenarios=jnp.asarray(x0s.shape[0], jnp.int32),
+            mean_iterations=jnp.mean(sol.iterations.astype(jnp.float32)),
+            max_violation=jnp.max(sol.max_violation),
+            total_cost=jnp.sum(sol.J),
+        )
+        return sol, stats
+
+    jitted = jax.jit(
+        _solve_batch,
+        in_shardings=(replicated, shard_b, shard_b),
+        out_shardings=(shard_b, replicated),
+    )
+
+    def solve(x0s: jax.Array, us0: jax.Array,
+              obj_override: Optional[Objective] = None):
+        B = x0s.shape[0]
+        n_dev = mesh.devices.size
+        if B % n_dev != 0:
+            raise ValueError(f"batch {B} not divisible by mesh size {n_dev}")
+        x0s = jax.device_put(x0s, shard_b)
+        us0 = jax.device_put(us0, shard_b)
+        return jitted(obj_override if obj_override is not None else obj, x0s, us0)
+
+    return solve

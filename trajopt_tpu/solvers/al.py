@@ -178,11 +178,15 @@ def al_solve(
     dts: jax.Array,
     opts: SolverOptions,
     xs_init: jax.Array = None,
+    duals_init=None,
+    penalties_init=None,
 ) -> ALSolution:
     """AL-iLQR solve (the ALTRO phase-1 loop, SURVEY.md §3.5).
 
     Fully jittable and vmappable over scenarios: all control flow is
-    ``lax.while_loop`` with per-scenario convergence state.
+    ``lax.while_loop`` with per-scenario convergence state.  ``duals_init``/
+    ``penalties_init`` warm-start the multipliers (MPC re-solves,
+    SURVEY.md §5 checkpoint/warm-start analog).
     """
     blocks = tuple(blocks)
     dtype = us_init.dtype
@@ -195,6 +199,10 @@ def al_solve(
         xs0 = jnp.where(jnp.all(jnp.isfinite(xs_init)), xs_init, xs0)
 
     lams, mus = init_duals(blocks, opts, dtype)
+    if duals_init is not None:
+        lams = duals_init
+    if penalties_init is not None:
+        mus = penalties_init
 
     if not blocks:
         res = ilqr_solve(model, obj.cost, obj.expansion, x0, xs0, us_init,
