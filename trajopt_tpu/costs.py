@@ -353,3 +353,49 @@ def QuatLQRCost(Q, R, xf, uf=None, w=1.0, quat_ind=(3, 4, 5, 6), dtype=None):
         Qd=Qd, Rd=Rd, q=q, r=r, c=c,
         w=jnp.asarray(w, Qd.dtype), q_ref=q_ref, q_ind=tuple(quat_ind),
     )
+
+
+@struct.dataclass
+class GenericCost:
+    """User-defined nonlinear cost, autodiffed (the @autodiff user-cost path
+    of the reference, test/nlcosts.jl:37-45).
+
+    ``stage_fn(params, x, u) -> scalar`` and ``term_fn(params, x) -> scalar``
+    are static pure callables; ``params`` is an arbitrary pytree (stackable
+    along the knot axis for per-knot variation).  Expansion uses
+    forward-over-reverse AD, the JAX analog of the reference's ForwardDiff
+    default (src/TrajectoryOptimization.jl:22-23).
+    """
+
+    params: Any = None
+    stage_fn: Any = struct.field(pytree_node=False, default=None)
+    term_fn: Any = struct.field(pytree_node=False, default=None)
+    n: int = struct.field(pytree_node=False, default=0)
+    m: int = struct.field(pytree_node=False, default=0)
+
+    def stage_cost(self, x, u):
+        return self.stage_fn(self.params, x, u)
+
+    def term_cost(self, x):
+        if self.term_fn is not None:
+            return self.term_fn(self.params, x)
+        return self.stage_fn(self.params, x, jnp.zeros((self.m,), x.dtype))
+
+    def expansion(self, x, u) -> CostExpansion:
+        f = lambda x_, u_: self.stage_fn(self.params, x_, u_)
+        gx = jax.grad(f, argnums=0)(x, u)
+        gu = jax.grad(f, argnums=1)(x, u)
+        xx = jax.jacfwd(jax.grad(f, argnums=0), argnums=0)(x, u)
+        uu = jax.jacfwd(jax.grad(f, argnums=1), argnums=1)(x, u)
+        ux = jax.jacfwd(jax.grad(f, argnums=1), argnums=0)(x, u)
+        return CostExpansion(xx=xx, uu=uu, ux=ux, x=gx, u=gu, c=f(x, u))
+
+    def term_expansion(self, x) -> CostExpansion:
+        f = lambda x_: self.term_cost(x_)
+        gx = jax.grad(f)(x)
+        xx = jax.jacfwd(jax.grad(f))(x)
+        m, n = self.m, x.shape[-1]
+        return CostExpansion(
+            xx=xx, uu=jnp.zeros((m, m), x.dtype), ux=jnp.zeros((m, n), x.dtype),
+            x=gx, u=jnp.zeros((m,), x.dtype), c=f(x),
+        )

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..dynamics import DiscreteModel
+from ..utils.linalg import chol_small, chol_solve_small
 from .options import SolverOptions
 
 __all__ = ["ilqr_solve", "ILQRResult"]
@@ -55,22 +56,23 @@ class _BackwardOut(NamedTuple):
     fail: jax.Array
 
 
-def _psd_solve(L, rhs):
-    return jax.scipy.linalg.cho_solve((L, True), rhs)
-
-
 def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drho,
                    opts: SolverOptions) -> _BackwardOut:
     """Regularized Riccati recursion (SURVEY.md §3.5 'backward Riccati pass
-    w/ Quu regularization')."""
+    w/ Quu regularization').
+
+    The Quu factorization uses an unrolled small-matrix Cholesky
+    (utils/linalg.py) — pure VPU arithmetic instead of XLA's generic
+    cholesky/triangular-solve, which are slow for tiny blocks on TPU."""
     n, m = xs.shape[-1], us.shape[-1]
     dtype = xs.dtype
 
-    jac = jax.vmap(model.jacobian)
+    # Linearization and cost expansion do not depend on rho: computed ONCE,
+    # outside the regularization retry loop.
+    A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
     exp = expand_fn(xs, us)
 
     def run_once(rho):
-        A, B = jac(xs[:-1], us[:-1], times[:-1], dts[:-1])
         Vx = exp.x[-1]
         Vxx = exp.xx[-1]
         eye_m = jnp.eye(m, dtype=dtype)
@@ -85,11 +87,10 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
             Qux = lux + B_k.T @ Vxx @ A_k
             Quu_reg = Quu + rho * eye_m
 
-            L = jnp.linalg.cholesky(0.5 * (Quu_reg + Quu_reg.T))
-            bad = jnp.any(jnp.isnan(L))
-            L_safe = jnp.where(bad, eye_m, L)
-            K = -_psd_solve(L_safe, Qux)
-            d = -_psd_solve(L_safe, Qu)
+            L, ok = chol_small(0.5 * (Quu_reg + Quu_reg.T))
+            bad = ~ok
+            K = -chol_solve_small(L, Qux)
+            d = -chol_solve_small(L, Qu)
 
             Vx_n = Qx + K.T @ Quu @ d + K.T @ Qu + Qux.T @ d
             Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
@@ -147,40 +148,42 @@ def _closed_loop_rollout(model: DiscreteModel, xs_ref, us_ref, K, d, alpha, x0,
 
 def _forward_pass(model, cost_fn, xs, us, K, d, dV1, dV2, J0, x0, times, dts,
                   opts: SolverOptions):
-    """Backtracking line search on the expected-decrease ratio
-    (SURVEY.md §3.5 'forward rollout + line search')."""
+    """PARALLEL line search on the expected-decrease ratio.
+
+    TPU-first redesign of the reference solver's sequential backtracking
+    (SURVEY.md §3.5 'forward rollout + line search'): all step sizes roll
+    out in ONE batched scan (the alpha axis rides with the scenario batch,
+    fattening the VPU lanes), then the largest accepted alpha is selected.
+    Eliminates both the data-dependent retry loop and the vmap straggler
+    effect of per-scenario backtracking.
+    """
     dtype = xs.dtype
+    nls = opts.iterations_linesearch
+    # Geometric schedule 1 -> min_alpha (the sequential halving schedule's
+    # range, with the trial count decoupled from the smallest step).
+    ratio = opts.line_search_min_alpha ** (1.0 / max(nls - 1, 1))
+    alphas = ratio ** jnp.arange(nls, dtype=dtype)
 
-    def try_alpha(alpha):
-        xs_n, us_n = _closed_loop_rollout(model, xs, us, K, d, alpha, x0, times,
-                                          dts, opts.max_state_value)
-        J = cost_fn(xs_n, us_n)
-        return xs_n, us_n, J
+    roll = jax.vmap(
+        lambda a: _closed_loop_rollout(model, xs, us, K, d, a, x0, times, dts,
+                                       opts.max_state_value))
+    xs_all, us_all = roll(alphas)                       # (A, N, n), (A, N, m)
+    J_all = jax.vmap(cost_fn)(xs_all, us_all)           # (A,)
 
-    def cond(state):
-        alpha, accepted, it, *_ = state
-        return (~accepted) & (it < opts.iterations_linesearch)
+    expected = -(alphas * dV1 + alphas * alphas * dV2)  # (A,)
+    dJ = J0 - J_all
+    z = dJ / jnp.maximum(expected, 1e-30)
+    ok_expected = (expected > 0) & (z > opts.line_search_lower_bound) & (
+        z < opts.line_search_upper_bound)
+    ok_fallback = (expected <= 0) & (dJ > 0)
+    ok = (ok_expected | ok_fallback) & jnp.isfinite(J_all)
 
-    def body(state):
-        alpha, accepted, it, xs_c, us_c, J_c = state
-        xs_n, us_n, J = try_alpha(alpha)
-        expected = -(alpha * dV1 + alpha * alpha * dV2)
-        dJ = J0 - J
-        z = dJ / jnp.maximum(expected, 1e-30)
-        ok_expected = (expected > 0) & (z > opts.line_search_lower_bound) & (
-            z < opts.line_search_upper_bound)
-        ok_fallback = (expected <= 0) & (dJ > 0)
-        ok = (ok_expected | ok_fallback) & jnp.isfinite(J)
-        xs_c = jnp.where(ok, xs_n, xs_c)
-        us_c = jnp.where(ok, us_n, us_c)
-        J_c = jnp.where(ok, J, J_c)
-        return (alpha * opts.line_search_decrease_factor, accepted | ok, it + 1,
-                xs_c, us_c, J_c)
-
-    state = (jnp.ones((), dtype), jnp.array(False), jnp.zeros((), jnp.int32),
-             xs, us, J0)
-    _, accepted, _, xs_n, us_n, J_n = jax.lax.while_loop(cond, body, state)
-    return xs_n, us_n, J_n, ~accepted
+    any_ok = jnp.any(ok)
+    best = jnp.argmax(ok)  # first (largest) accepted alpha
+    xs_n = jnp.where(any_ok, xs_all[best], xs)
+    us_n = jnp.where(any_ok, us_all[best], us)
+    J_n = jnp.where(any_ok, J_all[best], J0)
+    return xs_n, us_n, J_n, ~any_ok
 
 
 def ilqr_solve(

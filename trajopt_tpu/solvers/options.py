@@ -52,7 +52,8 @@ class SolverOptions:
     line_search_lower_bound: float = 1e-8
     line_search_upper_bound: float = 10.0
     line_search_decrease_factor: float = 0.5
-    iterations_linesearch: int = 20
+    line_search_min_alpha: float = 1e-6
+    iterations_linesearch: int = 16  # number of parallel step sizes
 
     # -- safeguards -----------------------------------------------------------
     max_cost_value: float = 1e12
