@@ -107,24 +107,11 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
         )
         return K, d, dV1, dV2, fail
 
-    # Re-run the whole pass with increased rho until Quu is PD everywhere
-    # (bounded retries; Tassa delta-doubling schedule).
-    def cond(state):
-        _, _, _, _, fail, _, _, tries = state
-        return fail & (tries < opts.bp_reg_fail_limit)
-
-    def body(state):
-        K, d, dV1, dV2, fail, rho, drho, tries = state
-        drho_n = jnp.maximum(drho * opts.bp_reg_increase_factor,
-                             opts.bp_reg_increase_factor)
-        rho_n = jnp.clip(jnp.maximum(rho * drho_n, opts.bp_reg_min),
-                         0.0, opts.bp_reg_max)
-        K, d, dV1, dV2, fail = run_once(rho_n)
-        return (K, d, dV1, dV2, fail, rho_n, drho_n, tries + 1)
-
+    # SINGLE pass per iteration (no in-place retry loop: under vmap a retry
+    # for one straggler scenario re-runs the whole scan for the entire
+    # batch).  On failure the caller rejects the step and bumps rho for the
+    # next iteration — the Tassa schedule spread across iterations.
     K, d, dV1, dV2, fail = run_once(rho)
-    state = (K, d, dV1, dV2, fail, rho, drho, jnp.zeros((), jnp.int32))
-    K, d, dV1, dV2, fail, rho, drho, _ = jax.lax.while_loop(cond, body, state)
     return _BackwardOut(K=K, d=d, dV1=dV1, dV2=dV2, rho=rho, drho=drho, fail=fail)
 
 
@@ -217,6 +204,12 @@ def ilqr_solve(
         xs_n, us_n, J_n, ls_failed = _forward_pass(
             model, cost_fn, s.xs, s.us, bp.K, bp.d, bp.dV1, bp.dV2, s.J, x0,
             times, dts, opts)
+        # A failed factorization invalidates the step regardless of what the
+        # line search found.
+        ls_failed = ls_failed | bp.fail
+        xs_n = jnp.where(bp.fail, s.xs, xs_n)
+        us_n = jnp.where(bp.fail, s.us, us_n)
+        J_n = jnp.where(bp.fail, s.J, J_n)
         # Altro's gradient metric: mean over knots of max_i |d_i|/(|u_i|+1).
         grad = jnp.mean(jnp.max(jnp.abs(bp.d) / (jnp.abs(s.us[:-1]) + 1), axis=-1))
         dJ = s.J - J_n
@@ -227,18 +220,23 @@ def ilqr_solve(
         # optimum and backtracking cannot beat floating-point noise); or
         # dJ_counter_limit consecutive zero-progress iterations.
         conv_cost = (~ls_failed) & (dJ >= 0) & (dJ < cost_tol) & (grad < grad_tol)
-        conv_stall = ls_failed & (expected < cost_tol)
+        conv_stall = ls_failed & (~bp.fail) & (expected < cost_tol)
         no_progress = ls_failed | ((dJ >= 0) & (dJ < cost_tol))
         stall_count = jnp.where(no_progress, s.stall_count + 1, 0)
         converged = conv_cost | conv_stall | (stall_count >= opts.dJ_counter_limit)
-        # On a genuine line-search breakdown: bump regularization and retry;
-        # declare failure only when rho saturates.
+        # On a line-search breakdown or failed factorization: bump
+        # regularization and retry next iteration; declare failure only when
+        # rho saturates.
         bump = ls_failed & (~converged)
-        rho_n = jnp.where(bump,
-                          jnp.maximum(bp.rho * opts.bp_reg_increase_factor,
-                                      opts.bp_reg_min),
-                          bp.rho)
-        failed = bp.fail | (bump & (rho_n >= opts.bp_reg_max))
+        up = jnp.where(bp.fail, opts.bp_reg_increase_factor ** 4,
+                       opts.bp_reg_increase_factor)
+        rho_up = jnp.minimum(jnp.maximum(bp.rho * up, opts.bp_reg_min),
+                             opts.bp_reg_max)
+        # Tassa schedule: decay regularization again after accepted steps.
+        rho_down = bp.rho / opts.bp_reg_increase_factor
+        rho_down = jnp.where(rho_down < opts.bp_reg_min, 0.0, rho_down)
+        rho_n = jnp.where(bump, rho_up, rho_down)
+        failed = bump & (rho_n >= opts.bp_reg_max)
         return ILQRResult(
             xs=xs_n, us=us_n, J=J_n, iterations=s.iterations + 1,
             gradient=grad, dJ=dJ, rho=rho_n, stall_count=stall_count,
