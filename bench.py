@@ -80,9 +80,10 @@ def main():
         gradient_tolerance_intermediate=1e-3, bp_reg_initial=1e-6,
         iterations=120, iterations_outer=8, iterations_inner=40,
     )
-    # MPC budget: a bounded warm-started re-solve.
+    # MPC budget: a bounded warm-started re-solve with a lean line search.
     mpc_opts = dict(cold_opts)
-    mpc_opts.update(iterations=15, iterations_outer=2, iterations_inner=10)
+    mpc_opts.update(iterations=15, iterations_outer=2, iterations_inner=10,
+                    iterations_linesearch=8, line_search_min_alpha=1e-4)
 
     dm, obj, blocks, x0, times, dts, opts_cold, n, m, hover = build(
         B, N, tf, dtype, cold_opts)
@@ -107,15 +108,25 @@ def main():
     controller = mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts_mpc,
                                          batched=True)
 
+    x0_reset = x0s
+    us_reset = us0
+
     def sim_next(sol, key):
-        # measured state: propagate one knot + small disturbance
+        # measured state: propagate one knot + small disturbance; diverged
+        # controllers reset to the hover initial condition (fleet fault
+        # recovery — stateless per-solve, SURVEY.md §5)
+        bad = (sol.max_violation > 1.0) | ~jnp.isfinite(sol.J)
+        xs = jnp.where(bad[:, None, None], x0_reset[:, None, :], sol.xs)
+        us = jnp.where(bad[:, None, None], us_reset, sol.us)
+        sol = sol.replace(xs=xs, us=us)
         x_next = sol.xs[:, 1]
         noise = 0.01 * jax.random.normal(key, x_next.shape, dtype)
-        return x_next + noise
+        return x_next + noise, sol
 
     # warmup / compile
+    sim_next = jax.jit(sim_next)
     key, sub = jax.random.split(kp)
-    x_meas = sim_next(sol, sub)
+    x_meas, sol = sim_next(sol, sub)
     t0 = time.time()
     sol = jax.block_until_ready(controller(x_meas, sol))
     log(f"mpc step compile+run: {time.time() - t0:.1f}s")
@@ -124,7 +135,7 @@ def main():
     t0 = time.time()
     for _ in range(steps):
         key, sub = jax.random.split(key)
-        x_meas = sim_next(sol, sub)
+        x_meas, sol = sim_next(sol, sub)
         sol = controller(x_meas, sol)
     jax.block_until_ready(sol)
     dt_total = time.time() - t0

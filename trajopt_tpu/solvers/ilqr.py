@@ -56,6 +56,10 @@ class _BackwardOut(NamedTuple):
     fail: jax.Array
 
 
+def _use_errstate(model: DiscreteModel, opts: SolverOptions) -> bool:
+    return opts.error_state and model.model.errstate_dim != model.n
+
+
 def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drho,
                    opts: SolverOptions) -> _BackwardOut:
     """Regularized Riccati recursion (SURVEY.md §3.5 'backward Riccati pass
@@ -63,7 +67,14 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
 
     The Quu factorization uses an unrolled small-matrix Cholesky
     (utils/linalg.py) — pure VPU arithmetic instead of XLA's generic
-    cholesky/triangular-solve, which are slow for tiny blocks on TPU."""
+    cholesky/triangular-solve, which are slow for tiny blocks on TPU.
+
+    For Lie-group models (errstate_dim < n, e.g. quaternion states) the
+    expansion and dynamics Jacobians are mapped into the tangent space by
+    the errstate Jacobian E(x) — the reference's ``error_expansion!``
+    (abstract_constraint.jl:282-303) applied to the whole AL expansion:
+    A~ = E(x')^T A E(x), lxx~ = E^T lxx E (Gauss-Newton, no curvature
+    correction, matching the reference)."""
     n, m = xs.shape[-1], us.shape[-1]
     dtype = xs.dtype
 
@@ -71,6 +82,16 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
     # outside the regularization retry loop.
     A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
     exp = expand_fn(xs, us)
+
+    if _use_errstate(model, opts):
+        E = jax.vmap(model.model.errstate_jacobian)(xs)        # (N, n, nt)
+        A = jnp.einsum("kij,kil,kjp->klp", A, E[1:], E[:-1])   # E'^T A E
+        B = jnp.einsum("kij,kil->klj", B, E[1:])               # E'^T B
+        exp = exp.replace(
+            x=jnp.einsum("ki,kip->kp", exp.x, E),
+            xx=jnp.einsum("kij,kip,kjq->kpq", exp.xx, E, E),
+            ux=jnp.einsum("kmi,kip->kmp", exp.ux, E),
+        )
 
     def run_once(rho):
         Vx = exp.x[-1]
@@ -117,11 +138,19 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
 
 def _closed_loop_rollout(model: DiscreteModel, xs_ref, us_ref, K, d, alpha, x0,
                          times, dts, max_state: float):
-    """x_{k+1} = f(x_k, u_ref_k + alpha d_k + K_k (x_k - x_ref_k))."""
+    """x_{k+1} = f(x_k, u_ref_k + alpha d_k + K_k dx_k) with
+    dx_k = state_diff(x_k, x_ref_k) — the Euclidean difference for vector
+    states, the tangent-space error for Lie-group states (so K matches the
+    error-state gains from the backward pass).  The gain's trailing dim is
+    the static discriminator between the two conventions."""
+    if K.shape[-1] != xs_ref.shape[-1]:
+        diff = model.model.state_diff
+    else:
+        diff = lambda x, x0: x - x0
 
     def step(x, inp):
         x_ref, u_ref, K_k, d_k, t, dt = inp
-        u = u_ref + alpha * d_k + K_k @ (x - x_ref)
+        u = u_ref + alpha * d_k + K_k @ diff(x, x_ref)
         xn = model.step(x, u, t, dt)
         xn = jnp.clip(xn, -max_state, max_state)
         return xn, (xn, u)

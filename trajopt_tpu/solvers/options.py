@@ -59,6 +59,15 @@ class SolverOptions:
     max_cost_value: float = 1e12
     max_state_value: float = 1e12
 
+    # -- Lie-group error-state expansions (RobotDynamics errstate role) ------
+    # When True and the model defines a reduced error state (e.g. quaternion
+    # models, errstate_dim < n), the Riccati pass runs in tangent-space
+    # coordinates (abstract_constraint.jl:282-303 applied to the full
+    # expansion).  Raw-state expansions are the default: with normalized
+    # quaternion dynamics they converge at least as fast on the benchmark
+    # problems and keep the compiled program simpler.
+    error_state: bool = False
+
     # -- projected-Newton solution polish (ALTRO phase 2) --------------------
     projected_newton: bool = False
     projected_newton_tolerance: float = 1e-3
