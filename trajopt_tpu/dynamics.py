@@ -189,7 +189,7 @@ def rollout(dmodel: DiscreteModel, x0: jax.Array, us: jax.Array, times: jax.Arra
         xn = dmodel.step(x, u, t, dt)
         return xn, xn
 
-    _, xs_tail = jax.lax.scan(f, x0, (us[:-1], times[:-1], dts[:-1]))
+    _, xs_tail = jax.lax.scan(f, x0, (us[:-1], times[:-1], dts[:-1]), unroll=8)
     return jnp.concatenate([x0[None], xs_tail], axis=0)
 
 

@@ -124,7 +124,8 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
         zero = jnp.zeros((), dtype)
         inputs = (A, B, exp.xx[:-1], exp.uu[:-1], exp.ux[:-1], exp.x[:-1], exp.u[:-1])
         (Vx, Vxx, dV1, dV2, fail), (K, d) = jax.lax.scan(
-            bp_step, (Vx, Vxx, zero, zero, jnp.array(False)), inputs, reverse=True
+            bp_step, (Vx, Vxx, zero, zero, jnp.array(False)), inputs,
+            reverse=True, unroll=8,
         )
         return K, d, dV1, dV2, fail
 
@@ -132,7 +133,12 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
     # for one straggler scenario re-runs the whole scan for the entire
     # batch).  On failure the caller rejects the step and bumps rho for the
     # next iteration — the Tassa schedule spread across iterations.
-    K, d, dV1, dV2, fail = run_once(rho)
+    if opts.riccati == "parallel":
+        from .parallel_riccati import parallel_riccati_gains
+        K, d, dV1, dV2, fail = parallel_riccati_gains(
+            A, B, exp.xx, exp.uu[:-1], exp.ux[:-1], exp.x, exp.u[:-1], rho)
+    else:
+        K, d, dV1, dV2, fail = run_once(rho)
     return _BackwardOut(K=K, d=d, dV1=dV1, dV2=dV2, rho=rho, drho=drho, fail=fail)
 
 
@@ -156,7 +162,7 @@ def _closed_loop_rollout(model: DiscreteModel, xs_ref, us_ref, K, d, alpha, x0,
         return xn, (xn, u)
 
     inputs = (xs_ref[:-1], us_ref[:-1], K, d, times[:-1], dts[:-1])
-    _, (xs_tail, us_new) = jax.lax.scan(step, x0, inputs)
+    _, (xs_tail, us_new) = jax.lax.scan(step, x0, inputs, unroll=8)
     xs = jnp.concatenate([x0[None], xs_tail], axis=0)
     us = jnp.concatenate([us_new, jnp.zeros_like(us_ref[-1:])], axis=0)
     return xs, us

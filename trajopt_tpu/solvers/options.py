@@ -41,6 +41,12 @@ class SolverOptions:
     penalty_conditional: bool = True
     penalty_conditional_ratio: float = 0.25
 
+    # -- Riccati backward pass ------------------------------------------------
+    # "sequential": lax.scan recursion.  "parallel": associative-scan
+    # parallel-in-time Riccati (O(log N) depth — the long-horizon/knot-axis
+    # parallelism, SURVEY.md §5; exact match to sequential at rho = 0).
+    riccati: str = "sequential"
+
     # -- backward-pass regularization ----------------------------------------
     bp_reg_initial: float = 0.0
     bp_reg_increase_factor: float = 1.6

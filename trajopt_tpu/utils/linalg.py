@@ -83,3 +83,25 @@ def solve_psd_small(A: jax.Array, B: jax.Array):
     """Solve A X = B for small SPD A; returns (X, ok)."""
     L, ok = chol_small(A)
     return chol_solve_small(L, B), ok
+
+
+def inv_small(A: jax.Array) -> jax.Array:
+    """Unrolled Gauss-Jordan inverse of (..., m, m) matrices (no pivoting).
+
+    Intended for well-conditioned matrices with dominant diagonal — e.g.
+    the (I + C J) combinations of the parallel Riccati scan, whose pivots
+    are 1 + nonnegative.  Pure element-wise arithmetic, batch-broadcasting.
+    """
+    m = A.shape[-1]
+    # Augment [A | I] as a list of rows of (..., 2m) blocks.
+    eye = jnp.eye(m, dtype=A.dtype)
+    rows = [jnp.concatenate([A[..., i, :],
+                             jnp.broadcast_to(eye[i], A.shape[:-2] + (m,))],
+                            axis=-1) for i in range(m)]
+    for i in range(m):
+        piv = rows[i][..., i:i + 1]
+        rows[i] = rows[i] / piv
+        for j in range(m):
+            if j != i:
+                rows[j] = rows[j] - rows[j][..., i:i + 1] * rows[i]
+    return jnp.stack([rows[i][..., m:] for i in range(m)], axis=-2)
