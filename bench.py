@@ -81,9 +81,11 @@ def main():
         iterations=120, iterations_outer=8, iterations_inner=40,
     )
     # MPC budget: a bounded warm-started re-solve with a lean line search.
+    # Warm-started re-solves converge in ~5 iterations (median); the cap is
+    # the wall-clock under vmapped while_loops, so keep it tight.
     mpc_opts = dict(cold_opts)
-    mpc_opts.update(iterations=15, iterations_outer=2, iterations_inner=10,
-                    iterations_linesearch=8, line_search_min_alpha=1e-4)
+    mpc_opts.update(iterations=8, iterations_outer=2, iterations_inner=6,
+                    iterations_linesearch=6, line_search_min_alpha=1e-4)
 
     dm, obj, blocks, x0, times, dts, opts_cold, n, m, hover = build(
         B, N, tf, dtype, cold_opts)
@@ -113,12 +115,20 @@ def main():
 
     def sim_next(sol, key):
         # measured state: propagate one knot + small disturbance; diverged
-        # controllers reset to the hover initial condition (fleet fault
-        # recovery — stateless per-solve, SURVEY.md §5)
+        # controllers reset to the hover initial condition WITH fresh duals
+        # and penalties (fleet fault recovery — stateless per-solve,
+        # SURVEY.md §5)
         bad = (sol.max_violation > 1.0) | ~jnp.isfinite(sol.J)
         xs = jnp.where(bad[:, None, None], x0_reset[:, None, :], sol.xs)
         us = jnp.where(bad[:, None, None], us_reset, sol.us)
-        sol = sol.replace(xs=xs, us=us)
+        duals = jax.tree_util.tree_map(
+            lambda lam: jnp.where(bad.reshape((-1,) + (1,) * (lam.ndim - 1)),
+                                  0.0, lam), sol.duals)
+        pens = jax.tree_util.tree_map(
+            lambda mu: jnp.where(bad.reshape((-1,) + (1,) * (mu.ndim - 1)),
+                                 mpc_opts["penalty_initial"], mu),
+            sol.penalties)
+        sol = sol.replace(xs=xs, us=us, duals=duals, penalties=pens)
         x_next = sol.xs[:, 1]
         noise = 0.01 * jax.random.normal(key, x_next.shape, dtype)
         return x_next + noise, sol
