@@ -68,9 +68,9 @@ def main():
     from trajopt_tpu.solvers.al import al_solve
 
     dtype = jnp.float32
-    B = int(os.environ.get("BENCH_B", 1024))
+    B = int(os.environ.get("BENCH_B", 2048))
     N = int(os.environ.get("BENCH_N", 101))
-    steps = int(os.environ.get("BENCH_STEPS", 5))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
     tf = 5.0
 
     cold_opts = dict(
