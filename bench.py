@@ -71,6 +71,10 @@ def main():
     B = int(os.environ.get("BENCH_B", 2048))
     N = int(os.environ.get("BENCH_N", 101))
     steps = int(os.environ.get("BENCH_STEPS", 10))
+    # Microbatch: one compiled program per chunk of scenarios (B=4096 in a
+    # single program exceeds a per-program device limit on this chip).
+    chunk = min(B, int(os.environ.get("BENCH_CHUNK", 2048)))
+    assert B % chunk == 0
     tf = 5.0
 
     cold_opts = dict(
@@ -98,11 +102,20 @@ def main():
 
     log(f"bench: B={B} N={N} dtype={dtype.__name__} device={jax.devices()[0]}")
 
+    def chunked(fn, *args):
+        outs = []
+        for i in range(0, B, chunk):
+            sliced = [jax.tree_util.tree_map(lambda a: a[i:i + chunk], arg)
+                      for arg in args]
+            outs.append(fn(*sliced))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
     # Cold solve (amortized across the MPC horizon; not part of the metric).
     cold_solve = jax.jit(jax.vmap(
         lambda a, b: al_solve(dm, obj, blocks, a, b, times, dts, opts_cold)))
     t0 = time.time()
-    sol = jax.block_until_ready(cold_solve(x0s, us0))
+    sol = jax.block_until_ready(chunked(cold_solve, x0s, us0))
     log(f"cold solve: {time.time() - t0:.1f}s, converged "
         f"{int(sol.converged.sum())}/{B}, mean iters {float(sol.iterations.mean()):.1f}, "
         f"max viol {float(sol.max_violation.max()):.2e}")
@@ -135,18 +148,21 @@ def main():
 
     # warmup / compile
     sim_next = jax.jit(sim_next)
+
+    def mpc_round(sol, key):
+        x_meas, sol = sim_next(sol, key)
+        return chunked(controller, x_meas, sol)
+
     key, sub = jax.random.split(kp)
-    x_meas, sol = sim_next(sol, sub)
     t0 = time.time()
-    sol = jax.block_until_ready(controller(x_meas, sol))
+    sol = jax.block_until_ready(mpc_round(sol, sub))
     log(f"mpc step compile+run: {time.time() - t0:.1f}s")
 
     # timed steady-state MPC steps
     t0 = time.time()
     for _ in range(steps):
         key, sub = jax.random.split(key)
-        x_meas, sol = sim_next(sol, sub)
-        sol = controller(x_meas, sol)
+        sol = mpc_round(sol, sub)
     jax.block_until_ready(sol)
     dt_total = time.time() - t0
     solves_per_s = B * steps / dt_total
