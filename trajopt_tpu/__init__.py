@@ -26,6 +26,8 @@ from .costs import (
     CostExpansion,
     DiagonalCost,
     DiagonalQuatCost,
+    ErrorQuadratic,
+    GenericCost,
     LQRCost,
     QuadraticCost,
     QuatLQRCost,

@@ -29,10 +29,32 @@ __all__ = [
     "DiagonalCost",
     "QuadraticCost",
     "DiagonalQuatCost",
+    "ErrorQuadratic",
+    "GenericCost",
     "LQRCost",
     "QuatLQRCost",
     "CostExpansion",
 ]
+
+
+def _warn_not_psd(name: str, M) -> None:
+    """Definiteness warning at construction (cost_functions.jl:437-444).
+
+    Only fires for concrete (non-traced) inputs — trace-time validation,
+    like the reference's constructor-time ``@warn``.
+    """
+    import warnings
+
+    try:
+        arr = __import__("numpy").asarray(M)
+    except Exception:
+        return  # traced value: skip
+    if arr.ndim == 1:
+        bad = (arr < 0).any()
+    else:
+        bad = (__import__("numpy").linalg.eigvalsh((arr + arr.T) / 2) < -1e-10).any()
+    if bad:
+        warnings.warn(f"{name} is not positive semidefinite", stacklevel=3)
 
 
 @struct.dataclass
@@ -87,6 +109,8 @@ class QuadraticCost:
         if R.ndim == 1:
             R = jnp.diag(R)
         n, m = Q.shape[0], R.shape[0]
+        _warn_not_psd("Q", Q)
+        _warn_not_psd("R", R)
         H = jnp.zeros((m, n), Q.dtype) if H is None else jnp.asarray(H, Q.dtype)
         q = jnp.zeros((n,), Q.dtype) if q is None else jnp.asarray(q, Q.dtype)
         r = jnp.zeros((m,), Q.dtype) if r is None else jnp.asarray(r, Q.dtype)
@@ -395,6 +419,84 @@ class GenericCost:
         gx = jax.grad(f)(x)
         xx = jax.jacfwd(jax.grad(f))(x)
         m, n = self.m, x.shape[-1]
+        return CostExpansion(
+            xx=xx, uu=jnp.zeros((m, m), x.dtype), ux=jnp.zeros((m, n), x.dtype),
+            x=gx, u=jnp.zeros((m,), x.dtype), c=f(x),
+        )
+
+
+@struct.dataclass
+class ErrorQuadratic:
+    """Error-state quadratic cost 1/2 (x (-) x_ref)' Q (x (-) x_ref)
+    (lie_costs.jl:178-278): the quadratic acts on the TANGENT-space error
+    computed by the model's ``state_diff`` (CayleyMap retraction,
+    lie_costs.jl:238) — 12-dim error for a 13-dim quaternion state.
+
+    The reference marks this cost as inferior to :class:`DiagonalQuatCost`
+    (lie_costs.jl:211-213) but ships it; expansion is AD-based, matching the
+    reference's ForwardAD default (lie_costs.jl:200).
+
+    ``model`` must provide ``state_diff`` / ``errstate_dim``; ``Qd`` has the
+    error-state dimension, R/r the control dimension.
+    """
+
+    Qd: jax.Array        # (errstate_dim,)
+    Rd: jax.Array        # (m,)
+    r: jax.Array         # (m,)
+    c: jax.Array         # scalar
+    x_ref: jax.Array     # (n,)
+    model: Optional[object] = struct.field(pytree_node=False, default=None)
+
+    @property
+    def n(self) -> int:
+        return self.x_ref.shape[-1]
+
+    @property
+    def m(self) -> int:
+        return self.Rd.shape[-1]
+
+    @classmethod
+    def create(cls, model, Q, R, x_ref, u_ref=None, r=None, c=0.0, dtype=None):
+        Qd = jnp.asarray(Q, dtype=dtype)
+        Rd = jnp.asarray(R, dtype=dtype)
+        if Qd.ndim == 2:
+            Qd = jnp.diag(Qd)
+        if Rd.ndim == 2:
+            Rd = jnp.diag(Rd)
+        x_ref = jnp.asarray(x_ref, Qd.dtype)
+        m = Rd.shape[-1]
+        r = jnp.zeros((m,), Qd.dtype) if r is None else jnp.asarray(r, Qd.dtype)
+        c = jnp.asarray(c, Qd.dtype)
+        if u_ref is not None:  # fold the control reference (lie_costs.jl:231-232)
+            u_ref = jnp.asarray(u_ref, Qd.dtype)
+            r = r - Rd * u_ref
+            c = c + 0.5 * jnp.sum(Rd * u_ref * u_ref)
+        return cls(Qd=Qd, Rd=Rd, r=r, c=c, x_ref=x_ref, model=model)
+
+    def stage_cost(self, x, u):
+        dx = self.model.state_diff(x, self.x_ref)
+        J = 0.5 * jnp.sum(self.Qd * dx * dx) + self.c
+        return J + 0.5 * jnp.sum(self.Rd * u * u) + self.r @ u
+
+    def term_cost(self, x):
+        dx = self.model.state_diff(x, self.x_ref)
+        return 0.5 * jnp.sum(self.Qd * dx * dx) + self.c
+
+    def expansion(self, x, u) -> CostExpansion:
+        f = lambda x_: self.term_cost(x_)
+        gx = jax.grad(f)(x)
+        xx = jax.jacfwd(jax.grad(f))(x)
+        n, m = x.shape[-1], self.m
+        return CostExpansion(
+            xx=xx, uu=jnp.diag(self.Rd), ux=jnp.zeros((m, n), x.dtype),
+            x=gx, u=self.Rd * u + self.r, c=self.stage_cost(x, u),
+        )
+
+    def term_expansion(self, x) -> CostExpansion:
+        f = lambda x_: self.term_cost(x_)
+        gx = jax.grad(f)(x)
+        xx = jax.jacfwd(jax.grad(f))(x)
+        n, m = x.shape[-1], self.m
         return CostExpansion(
             xx=xx, uu=jnp.zeros((m, m), x.dtype), ux=jnp.zeros((m, n), x.dtype),
             x=gx, u=jnp.zeros((m,), x.dtype), c=f(x),

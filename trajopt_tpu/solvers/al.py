@@ -31,6 +31,7 @@ import numpy as np
 from flax import struct
 
 from ..cones import Cone, dualcone, projection, projection_jacobian, violation
+from ..constraints import BoundConstraint
 from ..dynamics import DiscreteModel, rollout
 from ..objective import Objective
 from .ilqr import ILQRResult, ilqr_solve
@@ -130,10 +131,39 @@ def make_al_functions(obj: Objective, blocks: Sequence[ConstraintBlock],
         for block, lam, mu in zip(blocks, lams, mus):
             idx = jnp.array(block.inds)
             c = _block_eval(block, xs, us)                  # (K, p)
-            Jc = _block_jac(block, xs, us)                  # (K, p, n+m)
             dual = dualcone(block.con.sense)
             y = lam - mu[:, None] * c
             pi = jax.vmap(lambda v: projection(dual, v))(y)         # (K, p)
+
+            if isinstance(block.con, BoundConstraint):
+                # Bound rows are +-e_i: the chain rule reduces to a scatter
+                # of the penalty gradient and a DIAGONAL Hessian add —
+                # skips the dense (K, p, n+m) einsums for the most common
+                # constraint in every problem.
+                con = block.con
+                act = (y <= 0).astype(xs.dtype)             # dPi diag (K, p)
+                g_c = -act * pi                              # -dPi^T pi
+                h_c = act * mu[:, None]                      # mu dPi^T dPi diag
+                nu_, nl_ = len(con.i_max), len(con.i_min)
+                iu_ = jnp.array(con.i_max, dtype=int) if nu_ else None
+                il_ = jnp.array(con.i_min, dtype=int) if nl_ else None
+                gz = jnp.zeros((len(block.inds), n + us.shape[-1]), xs.dtype)
+                hz = jnp.zeros_like(gz)
+                if nu_:
+                    gz = gz.at[:, iu_].add(g_c[:, :nu_])     # J row = +1
+                    hz = hz.at[:, iu_].add(h_c[:, :nu_])
+                if nl_:
+                    gz = gz.at[:, il_].add(-g_c[:, nu_:])    # J row = -1
+                    hz = hz.at[:, il_].add(h_c[:, nu_:])
+                gx = gx.at[idx].add(gz[:, :n])
+                gu = gu.at[idx].add(gz[:, n:])
+                di = jnp.arange(n)
+                Hxx = Hxx.at[idx[:, None], di[None, :], di[None, :]].add(hz[:, :n])
+                dj = jnp.arange(us.shape[-1])
+                Huu = Huu.at[idx[:, None], dj[None, :], dj[None, :]].add(hz[:, n:])
+                continue
+
+            Jc = _block_jac(block, xs, us)                  # (K, p, n+m)
             dpi = jax.vmap(lambda v: projection_jacobian(dual, v))(y)  # (K, p, p)
             # grad wrt c: -dPi^T pi ; GN Hessian wrt c: mu * dPi^T dPi
             g_c = -jnp.einsum("kpq,kp->kq", dpi, pi)

@@ -61,15 +61,32 @@ class ALTROSolver:
     >>> solver.cost(), solver.max_violation(), solver.iterations()
     """
 
-    def __init__(self, prob: Problem, opts: Optional[SolverOptions] = None):
+    def __init__(self, prob: Problem, opts: Optional[SolverOptions] = None,
+                 show_summary: bool = False):
         self.prob = prob
         self.opts = opts or SolverOptions()
+        self.show_summary = show_summary
         self.solution: Optional[ALSolution] = None
 
     # -- solver interface -----------------------------------------------------
     def solve(self) -> ALSolution:
         self.solution = solve_problem(self.prob, self.opts)
+        if self.show_summary:
+            self.print_summary()
         return self.solution
+
+    def print_summary(self):
+        """Solve summary (the reference's show_summary/verbose output,
+        Cartpole.ipynb; docs/old/solving.md 'Logging')."""
+        s = self.solution
+        print(
+            f"ALTRO solve: {'CONVERGED' if bool(s.converged) else 'MAX ITERATIONS'}\n"
+            f"  cost:          {float(s.J):.6g}\n"
+            f"  max_violation: {float(s.max_violation):.3e}\n"
+            f"  iterations:    {int(s.iterations)} inner / "
+            f"{int(s.outer_iterations)} outer\n"
+            f"  gradient:      {float(s.gradient):.3e}"
+        )
 
     def get_model(self):
         return self.prob.model
