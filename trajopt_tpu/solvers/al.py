@@ -68,15 +68,35 @@ class ALSolution:
     penalties: Any               # tuple of (K_i,) penalty scalars
 
 
+def _contiguous(inds) -> bool:
+    return list(inds) == list(range(inds[0], inds[-1] + 1))
+
+
+def _take_knots(arr, inds):
+    """arr[inds] along axis 0 — a STATIC slice when the knot set is
+    contiguous (the overwhelmingly common case), avoiding TPU gathers."""
+    if _contiguous(inds):
+        return arr[inds[0]:inds[-1] + 1]
+    return arr[jnp.array(inds)]
+
+
+def _add_knots(arr, inds, upd):
+    """arr.at[inds].add(upd) — as a static dense-slice update when the knot
+    set is contiguous (XLA scatters are slow on TPU)."""
+    if _contiguous(inds):
+        return arr.at[inds[0]:inds[-1] + 1].add(upd)
+    return arr.at[jnp.array(inds)].add(upd)
+
+
 def _block_eval(block: ConstraintBlock, xs, us):
     """(K, p) constraint values over the block's knot set."""
-    idx = jnp.array(block.inds)
-    return jax.vmap(block.con.evaluate)(xs[idx], us[idx])
+    return jax.vmap(block.con.evaluate)(_take_knots(xs, block.inds),
+                                        _take_knots(us, block.inds))
 
 
 def _block_jac(block: ConstraintBlock, xs, us):
-    idx = jnp.array(block.inds)
-    return jax.vmap(block.con.jacobian)(xs[idx], us[idx])
+    return jax.vmap(block.con.jacobian)(_take_knots(xs, block.inds),
+                                        _take_knots(us, block.inds))
 
 
 def eval_blocks(blocks: Sequence[ConstraintBlock], xs, us):
@@ -126,41 +146,41 @@ def make_al_functions(obj: Objective, blocks: Sequence[ConstraintBlock],
     def expand_fn(xs, us):
         exp = obj.expansion(xs, us)
         n = xs.shape[-1]
+        m_ = us.shape[-1]
         gx, gu = exp.x, exp.u
         Hxx, Huu, Hux = exp.xx, exp.uu, exp.ux
         for block, lam, mu in zip(blocks, lams, mus):
-            idx = jnp.array(block.inds)
+            inds = block.inds
             c = _block_eval(block, xs, us)                  # (K, p)
             dual = dualcone(block.con.sense)
             y = lam - mu[:, None] * c
             pi = jax.vmap(lambda v: projection(dual, v))(y)         # (K, p)
 
             if isinstance(block.con, BoundConstraint):
-                # Bound rows are +-e_i: the chain rule reduces to a scatter
-                # of the penalty gradient and a DIAGONAL Hessian add —
-                # skips the dense (K, p, n+m) einsums for the most common
-                # constraint in every problem.
+                # Bound rows are +-e_i: the chain rule reduces to dense
+                # per-entry adds and a DIAGONAL Hessian add — no gathers,
+                # no scatters, no (K, p, n+m) einsums.
                 con = block.con
                 act = (y <= 0).astype(xs.dtype)             # dPi diag (K, p)
                 g_c = -act * pi                              # -dPi^T pi
                 h_c = act * mu[:, None]                      # mu dPi^T dPi diag
                 nu_, nl_ = len(con.i_max), len(con.i_min)
-                iu_ = jnp.array(con.i_max, dtype=int) if nu_ else None
-                il_ = jnp.array(con.i_min, dtype=int) if nl_ else None
-                gz = jnp.zeros((len(block.inds), n + us.shape[-1]), xs.dtype)
+                gz = jnp.zeros((len(inds), n + m_), xs.dtype)
                 hz = jnp.zeros_like(gz)
                 if nu_:
+                    iu_ = jnp.array(con.i_max, dtype=int)
                     gz = gz.at[:, iu_].add(g_c[:, :nu_])     # J row = +1
                     hz = hz.at[:, iu_].add(h_c[:, :nu_])
                 if nl_:
+                    il_ = jnp.array(con.i_min, dtype=int)
                     gz = gz.at[:, il_].add(-g_c[:, nu_:])    # J row = -1
                     hz = hz.at[:, il_].add(h_c[:, nu_:])
-                gx = gx.at[idx].add(gz[:, :n])
-                gu = gu.at[idx].add(gz[:, n:])
-                di = jnp.arange(n)
-                Hxx = Hxx.at[idx[:, None], di[None, :], di[None, :]].add(hz[:, :n])
-                dj = jnp.arange(us.shape[-1])
-                Huu = Huu.at[idx[:, None], dj[None, :], dj[None, :]].add(hz[:, n:])
+                gx = _add_knots(gx, inds, gz[:, :n])
+                gu = _add_knots(gu, inds, gz[:, n:])
+                eye_n = jnp.eye(n, dtype=xs.dtype)
+                eye_m = jnp.eye(m_, dtype=xs.dtype)
+                Hxx = _add_knots(Hxx, inds, hz[:, :n, None] * eye_n[None])
+                Huu = _add_knots(Huu, inds, hz[:, n:, None] * eye_m[None])
                 continue
 
             Jc = _block_jac(block, xs, us)                  # (K, p, n+m)
@@ -170,11 +190,11 @@ def make_al_functions(obj: Objective, blocks: Sequence[ConstraintBlock],
             g_z = jnp.einsum("kpz,kp->kz", Jc, g_c)                  # (K, n+m)
             H_c = jnp.einsum("kpq,kpr->kqr", dpi, dpi) * mu[:, None, None]
             H_z = jnp.einsum("kpz,kpq,kqw->kzw", Jc, H_c, Jc)        # (K, n+m, n+m)
-            gx = gx.at[idx].add(g_z[:, :n])
-            gu = gu.at[idx].add(g_z[:, n:])
-            Hxx = Hxx.at[idx].add(H_z[:, :n, :n])
-            Huu = Huu.at[idx].add(H_z[:, n:, n:])
-            Hux = Hux.at[idx].add(H_z[:, n:, :n])
+            gx = _add_knots(gx, inds, g_z[:, :n])
+            gu = _add_knots(gu, inds, g_z[:, n:])
+            Hxx = _add_knots(Hxx, inds, H_z[:, :n, :n])
+            Huu = _add_knots(Huu, inds, H_z[:, n:, n:])
+            Hux = _add_knots(Hux, inds, H_z[:, n:, :n])
         return exp.replace(x=gx, u=gu, xx=Hxx, uu=Huu, ux=Hux)
 
     return cost_fn, expand_fn

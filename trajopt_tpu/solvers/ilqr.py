@@ -80,7 +80,17 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
 
     # Linearization and cost expansion do not depend on rho: computed ONCE,
     # outside the regularization retry loop.
-    A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
+    if opts.jacobian_mode == "approx":
+        f = model.model.dynamics
+        Af = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us[:-1], times[:-1])
+        Bf = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us[:-1], times[:-1])
+        dt_ = dts[:-1, None, None]
+        eye = jnp.eye(n, dtype=dtype)
+        AfAf = jnp.einsum("kij,kjl->kil", Af, Af)
+        A = eye + dt_ * Af + (0.5 * dt_ * dt_) * AfAf
+        B = dt_ * Bf + (0.5 * dt_ * dt_) * jnp.einsum("kij,kjl->kil", Af, Bf)
+    else:
+        A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
     exp = expand_fn(xs, us)
 
     if _use_errstate(model, opts):

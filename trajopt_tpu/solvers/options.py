@@ -41,6 +41,15 @@ class SolverOptions:
     penalty_conditional: bool = True
     penalty_conditional_ratio: float = 0.25
 
+    # -- dynamics Jacobians ---------------------------------------------------
+    # "exact": jacfwd through the full integrator (RK4 chain) — the
+    # reference's ForwardAD behavior.  "approx": one linearization of the
+    # CONTINUOUS dynamics per knot, exponentiated to 2nd order
+    # (A = I + dt Af + dt^2/2 Af^2) — ~4x less compute/bandwidth; iLQR is
+    # Gauss-Newton, so approximate Jacobians trade convergence rate, not
+    # solution accuracy (the forward rollout stays exact).
+    jacobian_mode: str = "exact"
+
     # -- Riccati backward pass ------------------------------------------------
     # "sequential": lax.scan recursion.  "parallel": associative-scan
     # parallel-in-time Riccati (O(log N) depth — the long-horizon/knot-axis
