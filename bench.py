@@ -88,7 +88,7 @@ def main():
     # Warm-started re-solves converge in ~5 iterations (median); the cap is
     # the wall-clock under vmapped while_loops, so keep it tight.
     mpc_opts = dict(cold_opts)
-    mpc_opts.update(iterations=8, iterations_outer=2, iterations_inner=6,
+    mpc_opts.update(iterations=6, iterations_outer=2, iterations_inner=5,
                     iterations_linesearch=6, line_search_min_alpha=1e-4)
 
     dm, obj, blocks, x0, times, dts, opts_cold, n, m, hover = build(
