@@ -56,6 +56,76 @@ class Quadrotor(Model):
         wdot = (tau - jnp.cross(w, J * w)) / J
         return jnp.concatenate([pdot, qdot, vdot, wdot])
 
+    def dynamics_jacobian(self, x, u, t):
+        """Closed-form (df/dx, df/du) — the reference's UserDefined analytic
+        rule pattern, here for the hottest linearization in the framework.
+
+        Validated against jacfwd to round-off (tests/test_dynamics.py).
+        Includes the quaternion-normalization chain dq_hat/dq =
+        (I - q_hat q_hat')/||q||.
+        """
+        dtype = x.dtype
+        q_raw = x[3:7]
+        qn = jnp.linalg.norm(q_raw)
+        q = q_raw / qn
+        w = x[10:13]
+        kf, km, L = self.kf, self.km, self.motor_dist
+        mass = self.mass
+        Jd = jnp.array([self.Jx, self.Jy, self.Jz], dtype)
+
+        def skew(v):
+            return jnp.array([[0.0, -v[2], v[1]],
+                              [v[2], 0.0, -v[0]],
+                              [-v[1], v[0], 0.0]], dtype)
+
+        gate = (u > 0).astype(dtype)          # d max(0, kf u)/du
+        F = jnp.maximum(0.0, kf * u)
+        Fz = F[0] + F[1] + F[2] + F[3]
+        Fb = jnp.array([0.0, 0.0, Fz], dtype)
+
+        # dq_hat/dq: normalization chain
+        dqhat = (jnp.eye(4, dtype=dtype) - jnp.outer(q, q)) / qn
+
+        Af = jnp.zeros((13, 13), dtype)
+        # pdot = v
+        Af = Af.at[0:3, 7:10].set(jnp.eye(3, dtype=dtype))
+
+        # qdot = 0.5 q (x) [0, w]  =>  d/dq_hat = 0.5 Rright([0, w])
+        Rr = jnp.zeros((4, 4), dtype)
+        Rr = Rr.at[0, 1:].set(-w)
+        Rr = Rr.at[1:, 0].set(w)
+        Rr = Rr.at[1:, 1:].set(-skew(w))
+        Af = Af.at[3:7, 3:7].set(0.5 * Rr @ dqhat)
+        # d/dw = 0.5 L(q) H
+        from ..utils.quaternions import lmult
+        Af = Af.at[3:7, 10:13].set(0.5 * lmult(q)[:, 1:])
+
+        # vdot = g + R(q) Fb / m; rotate r = Fb + 2 qw t + 2 qv x t, t = qv x Fb
+        qw, qv = q[0], q[1:]
+        tvec = jnp.cross(qv, Fb)
+        dr_dqw = 2.0 * tvec
+        dr_dqv = -2.0 * qw * skew(Fb) - 2.0 * skew(tvec) - 2.0 * skew(qv) @ skew(Fb)
+        dr_dqhat = jnp.concatenate([dr_dqw[:, None], dr_dqv], axis=1)  # (3, 4)
+        Af = Af.at[7:10, 3:7].set(dr_dqhat @ dqhat / mass)
+
+        # wdot = Jinv (tau - w x (J w))
+        dwdot_dw = -(skew(w) * Jd[None, :] - skew(Jd * w)) / Jd[:, None]
+        Af = Af.at[10:13, 10:13].set(dwdot_dw)
+
+        Bf = jnp.zeros((13, 4), dtype)
+        # vdot: R(q) e3 * kf gate / m
+        from ..utils.quaternions import quat_rotate
+        Re3 = quat_rotate(q, jnp.array([0.0, 0.0, 1.0], dtype))
+        Bf = Bf.at[7:10, :].set(Re3[:, None] * (kf * gate)[None, :] / mass)
+        # wdot: Jinv dtau/du
+        kfg = kf * gate
+        dtau = jnp.array(
+            [[0.0, L * kfg[1], 0.0, -L * kfg[3]],
+             [-L * kfg[0], 0.0, L * kfg[2], 0.0],
+             [km, -km, km, -km]], dtype)
+        Bf = Bf.at[10:13, :].set(dtau / Jd[:, None])
+        return Af, Bf
+
     # -- error-state protocol (SURVEY.md §2.2; 13 -> 12 dims) ----------------
     def state_diff(self, x, x0):
         dq = quat_err(x[3:7], x0[3:7])

@@ -326,6 +326,9 @@ def al_solve(
 
     # Final polish: one more inner solve at the tight tolerance with the
     # converged duals (Altro runs the last AL solve to cost_tolerance).
+    # The polish minimizes the AL merit at FIXED multipliers, which can
+    # trade a little feasibility for cost — keep it only if it does not
+    # worsen the max violation beyond tolerance.
     cost_fn, expand_fn = make_al_functions(obj, blocks, out.lams, out.mus)
     res = ilqr_solve(
         model, cost_fn, expand_fn, x0, out.xs, out.us, times, dts, opts,
@@ -334,13 +337,18 @@ def al_solve(
         grad_tol=opts.gradient_tolerance,
     )
     cvals = eval_blocks(blocks, res.xs, res.us)
-    viol = max_violation_blocks(blocks, cvals)
+    viol_p = max_violation_blocks(blocks, cvals)
+    keep = viol_p <= jnp.maximum(out.viol, opts.constraint_tolerance)
+    xs_f = jnp.where(keep, res.xs, out.xs)
+    us_f = jnp.where(keep, res.us, out.us)
+    viol_f = jnp.where(keep, viol_p, out.viol)
+    grad_f = jnp.where(keep, res.gradient, out.grad)
     return ALSolution(
-        xs=res.xs, us=res.us, J=obj.cost(res.xs, res.us),
-        max_violation=viol,
+        xs=xs_f, us=us_f, J=obj.cost(xs_f, us_f),
+        max_violation=viol_f,
         iterations=out.inner_iters + res.iterations,
         outer_iterations=out.outer,
-        gradient=res.gradient,
-        converged=out.converged & (viol < opts.constraint_tolerance),
+        gradient=grad_f,
+        converged=out.converged & (viol_f < opts.constraint_tolerance),
         duals=out.lams, penalties=out.mus,
     )

@@ -207,15 +207,25 @@ def _forward_pass(model, cost_fn, xs, us, K, d, dV1, dV2, J0, x0, times, dts,
     z = dJ / jnp.maximum(expected, 1e-30)
     ok_expected = (expected > 0) & (z > opts.line_search_lower_bound) & (
         z < opts.line_search_upper_bound)
-    ok_fallback = (expected <= 0) & (dJ > 0)
-    ok = (ok_expected | ok_fallback) & jnp.isfinite(J_all)
-
+    ok_noexp = (expected <= 0) & (dJ > 0)
+    ok = (ok_expected | ok_noexp) & jnp.isfinite(J_all)
     any_ok = jnp.any(ok)
     best = jnp.argmax(ok)  # first (largest) accepted alpha
-    xs_n = jnp.where(any_ok, xs_all[best], xs)
-    us_n = jnp.where(any_ok, us_all[best], us)
-    J_n = jnp.where(any_ok, J_all[best], J0)
-    return xs_n, us_n, J_n, ~any_ok
+
+    # Monotone-descent fallback: when the ratio test rejects every alpha
+    # but some step still lowers the cost, take the best of those — keeps
+    # the solver grinding through the stiff-penalty regime where the
+    # quadratic model mispredicts (the stall counter bounds how long).
+    ok_desc = (dJ > 0) & jnp.isfinite(J_all)
+    any_desc = jnp.any(ok_desc)
+    best_desc = jnp.argmax(jnp.where(ok_desc, dJ, -jnp.inf))
+
+    accepted = any_ok | any_desc
+    pick = jnp.where(any_ok, best, best_desc)
+    xs_n = jnp.where(accepted, xs_all[pick], xs)
+    us_n = jnp.where(accepted, us_all[pick], us)
+    J_n = jnp.where(accepted, J_all[pick], J0)
+    return xs_n, us_n, J_n, ~accepted
 
 
 def ilqr_solve(
