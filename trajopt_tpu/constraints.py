@@ -524,3 +524,23 @@ class QuatVecEq(AbstractConstraint):
         dq = self.qf @ q
         qf = jnp.where(dq < 0, -self.qf, self.qf)
         return -(qf[1:] - q[1:])
+
+
+def constraint_hessian(con: AbstractConstraint, x, u, lam):
+    """Hessian of lam' c(x, u) wrt z = [x; u] — the second-order constraint
+    term of full-Newton methods (the reference's ∇constraint_jacobians!,
+    abstract_constraint.jl:267-280, which ADDS lam' nabla^2 c into G).
+
+    AD default (forward-over-reverse); linear constraints short-circuit to
+    zero (the reference's ∇jacobian! = 0 overrides for Goal/Linear/Bound).
+    """
+    if isinstance(con, (GoalConstraint, LinearConstraint, BoundConstraint)):
+        nm = con.n + con.m
+        return jnp.zeros((nm, nm), x.dtype)
+
+    def lam_c(xu):
+        x_, u_ = xu[: x.shape[-1]], xu[x.shape[-1]:]
+        return con.evaluate(x_, u_) @ lam
+
+    xu = jnp.concatenate([x, u])
+    return jax.jacfwd(jax.grad(lam_c))(xu)
