@@ -155,3 +155,27 @@ def test_projected_newton_polish():
     assert bool(sol.converged)
     assert solver.max_violation() < 1e-11
     assert solver.cost() * tf / (N - 1) < 0.0541
+
+
+def test_infeasible_start():
+    """ALTRO slack-augmented infeasible start (docs/old/solver_interface.md):
+    solve from a dynamically-inconsistent state guess; the slacks reproduce
+    the guess exactly and the AL drives them to zero."""
+    from trajopt_tpu.solvers import ConstraintBlock
+    from trajopt_tpu.solvers.infeasible import solve_infeasible
+
+    model = DoubleIntegrator(d=2)
+    dm = to.discretize(model, "rk4")
+    n, m, N, tf = 4, 2, 21, 3.0
+    xf = jnp.array([0.0, 2.0, 0.0, 0.0])
+    obj = to.LQRObjective(jnp.ones(n), jnp.ones(m), 20 * jnp.ones(n), xf, N)
+    blocks = (ConstraintBlock(con=to.GoalConstraint.create(xf, m=m),
+                              inds=(N - 1,)),)
+    times = jnp.linspace(0, tf, N)
+    dts = jnp.full(N, tf / (N - 1)).at[-1].set(0.0)
+    X0 = jnp.linspace(jnp.zeros(n), xf, N)  # dynamically inconsistent
+    sol = solve_infeasible(dm, obj, blocks, jnp.zeros(n), X0,
+                           jnp.zeros((N, m)), times, dts, SolverOptions())
+    assert bool(sol.converged)
+    assert float(sol.max_violation) < 1e-6
+    assert float(jnp.max(jnp.abs(sol.xs[-1] - xf))) < 1e-6

@@ -36,9 +36,16 @@ def solve_problem(prob: Problem, opts: Optional[SolverOptions] = None,
     blocks = _problem_blocks(prob)
     model = prob.model
 
-    def _solve(obj, block_tuple, x0, us, times, dts, xs):
-        return al_solve(model, obj, block_tuple, x0, us, times, dts, opts,
-                        xs_init=xs)
+    if opts.infeasible:
+        from .infeasible import solve_infeasible
+
+        def _solve(obj, block_tuple, x0, us, times, dts, xs):
+            return solve_infeasible(model, obj, block_tuple, x0, xs, us,
+                                    times, dts, opts)
+    else:
+        def _solve(obj, block_tuple, x0, us, times, dts, xs):
+            return al_solve(model, obj, block_tuple, x0, us, times, dts, opts,
+                            xs_init=xs)
 
     fn = jax.jit(_solve) if jit else _solve
     sol = fn(prob.obj, blocks, prob.x0, prob.us, prob.times, prob.dts, prob.xs)

@@ -74,6 +74,10 @@ class SolverOptions:
     max_cost_value: float = 1e12
     max_state_value: float = 1e12
 
+    # -- infeasible start (ALTRO slack augmentation) --------------------------
+    infeasible: bool = False
+    slack_penalty: float = 1.0     # R weight on the slack defect controls
+
     # -- Lie-group error-state expansions (RobotDynamics errstate role) ------
     # When True and the model defines a reduced error state (e.g. quaternion
     # models, errstate_dim < n), the Riccati pass runs in tangent-space
