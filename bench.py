@@ -89,7 +89,8 @@ def main():
     # the wall-clock under vmapped while_loops, so keep it tight.
     mpc_opts = dict(cold_opts)
     mpc_opts.update(iterations=6, iterations_outer=2, iterations_inner=5,
-                    iterations_linesearch=6, line_search_min_alpha=1e-4)
+                    iterations_linesearch=6, line_search_min_alpha=1e-4,
+                    final_polish=False)
 
     dm, obj, blocks, x0, times, dts, opts_cold, n, m, hover = build(
         B, N, tf, dtype, cold_opts)

@@ -544,3 +544,9 @@ def constraint_hessian(con: AbstractConstraint, x, u, lam):
 
     xu = jnp.concatenate([x, u])
     return jax.jacfwd(jax.grad(lam_c))(xu)
+
+
+def change_dimension(con: AbstractConstraint, n: int, m: int, ix=None, iu=None):
+    """Re-index a constraint into a larger space — the reference's generic
+    fallback wraps in an IndexedConstraint (constraints.jl:934-936)."""
+    return IndexedConstraint.create(n, m, con, ix=ix, iu=iu)

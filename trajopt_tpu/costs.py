@@ -501,3 +501,43 @@ class ErrorQuadratic:
             xx=xx, uu=jnp.zeros((m, m), x.dtype), ux=jnp.zeros((m, n), x.dtype),
             x=gx, u=jnp.zeros((m,), x.dtype), c=f(x),
         )
+
+
+def change_dimension(cost, n: int, m: int, ix=None, iu=None):
+    """Embed a cost into a larger state/control space (the reference's
+    ``change_dimension``, cost_functions.jl:391-401, lie_costs.jl:144-156),
+    zero-padding the new dimensions.  ``ix``/``iu`` give the indices of the
+    old dims inside the new space (defaults: leading block)."""
+    import numpy as _np
+
+    ix = tuple(range(cost.n)) if ix is None else tuple(int(i) for i in ix)
+    iu = tuple(range(cost.m)) if iu is None else tuple(int(i) for i in iu)
+    ixa, iua = jnp.array(ix), jnp.array(iu)
+    if isinstance(cost, DiagonalCost):
+        return DiagonalCost(
+            Qd=jnp.zeros(n, cost.Qd.dtype).at[ixa].set(cost.Qd),
+            Rd=jnp.zeros(m, cost.Rd.dtype).at[iua].set(cost.Rd),
+            q=jnp.zeros(n, cost.q.dtype).at[ixa].set(cost.q),
+            r=jnp.zeros(m, cost.r.dtype).at[iua].set(cost.r),
+            c=cost.c,
+        )
+    if isinstance(cost, QuadraticCost):
+        Q = jnp.zeros((n, n), cost.Q.dtype).at[jnp.ix_(ixa, ixa)].set(cost.Q)
+        R = jnp.zeros((m, m), cost.R.dtype).at[jnp.ix_(iua, iua)].set(cost.R)
+        H = jnp.zeros((m, n), cost.H.dtype).at[jnp.ix_(iua, ixa)].set(cost.H)
+        return QuadraticCost(
+            Q=Q, R=R, H=H,
+            q=jnp.zeros(n, cost.q.dtype).at[ixa].set(cost.q),
+            r=jnp.zeros(m, cost.r.dtype).at[iua].set(cost.r),
+            c=cost.c,
+        )
+    if isinstance(cost, DiagonalQuatCost):
+        q_ind = tuple(ix[i] for i in cost.q_ind)
+        return DiagonalQuatCost(
+            Qd=jnp.zeros(n, cost.Qd.dtype).at[ixa].set(cost.Qd),
+            Rd=jnp.zeros(m, cost.Rd.dtype).at[iua].set(cost.Rd),
+            q=jnp.zeros(n, cost.q.dtype).at[ixa].set(cost.q),
+            r=jnp.zeros(m, cost.r.dtype).at[iua].set(cost.r),
+            c=cost.c, w=cost.w, q_ref=cost.q_ref, q_ind=q_ind,
+        )
+    raise TypeError(f"change_dimension: unsupported cost {type(cost)}")

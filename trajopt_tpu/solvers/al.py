@@ -324,6 +324,14 @@ def al_solve(
     )
     out = jax.lax.while_loop(cond, body, init)
 
+    if not opts.final_polish:
+        return ALSolution(
+            xs=out.xs, us=out.us, J=out.J, max_violation=out.viol,
+            iterations=out.inner_iters, outer_iterations=out.outer,
+            gradient=out.grad, converged=out.converged,
+            duals=out.lams, penalties=out.mus,
+        )
+
     # Final polish: one more inner solve at the tight tolerance with the
     # converged duals (Altro runs the last AL solve to cost_tolerance).
     # The polish minimizes the AL merit at FIXED multipliers, which can

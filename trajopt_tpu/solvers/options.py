@@ -74,6 +74,12 @@ class SolverOptions:
     max_cost_value: float = 1e12
     max_state_value: float = 1e12
 
+    # -- final polish ---------------------------------------------------------
+    # Run one more inner solve at the tight tolerance with converged duals
+    # after the AL loop (Altro behavior).  Disable for fixed-budget MPC
+    # steps: under vmap the polish runs at the batch straggler's pace.
+    final_polish: bool = True
+
     # -- infeasible start (ALTRO slack augmentation) --------------------------
     infeasible: bool = False
     slack_penalty: float = 1.0     # R weight on the slack defect controls
