@@ -121,8 +121,11 @@ def main():
         f"{int(sol.converged.sum())}/{B}, mean iters {float(sol.iterations.mean()):.1f}, "
         f"max viol {float(sol.max_violation.max()):.2e}")
 
+    schedule = tuple(int(x) for x in
+                     os.environ.get("BENCH_SCHEDULE", "2,1,1").split(","))
     controller = mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts_mpc,
-                                         batched=True)
+                                         batched=True, schedule=schedule,
+                                         relin_every=2)
 
     x0_reset = x0s
     us_reset = us0

@@ -52,14 +52,31 @@ def mpc_step(
     dts: jax.Array,
     opts: SolverOptions,
     warm_start_duals: bool = True,
+    schedule=None,
+    relin_every: int = 2,
 ) -> ALSolution:
     """One receding-horizon step: warm-start from ``prev`` and re-solve from
-    the measured state.  Pure and jittable; vmap for a controller fleet."""
+    the measured state.  Pure and jittable; vmap for a controller fleet.
+
+    With ``schedule`` (e.g. ``(3, 3)``), the re-solve uses the fixed
+    real-time-iteration solver (deterministic wall-clock, Jacobian reuse)
+    instead of the to-tolerance AL loop.
+    """
     xs_w, us_w = shift_trajectory(prev.xs, prev.us)
     duals = shift_duals(blocks, prev.duals) if warm_start_duals else None
+    # Penalties warm-start too: with adapted mu a single dual update per
+    # step suffices (otherwise the leftover violation is ~ dlambda/mu_0).
+    pens = shift_duals(blocks, prev.penalties) if warm_start_duals else None
+    if schedule is not None:
+        from .solvers.fixed import al_solve_fixed
+        return al_solve_fixed(
+            model, obj, blocks, x_measured, us_w, times, dts, opts,
+            schedule=tuple(schedule), relin_every=relin_every,
+            xs_init=xs_w, duals_init=duals, penalties_init=pens,
+        )
     return al_solve(
         model, obj, blocks, x_measured, us_w, times, dts, opts,
-        xs_init=xs_w, duals_init=duals,
+        xs_init=xs_w, duals_init=duals, penalties_init=pens,
     )
 
 
@@ -71,16 +88,20 @@ def make_mpc_controller(
     dts: jax.Array,
     opts: SolverOptions,
     batched: bool = False,
+    schedule=None,
+    relin_every: int = 2,
 ):
     """Compile ``controller(x_measured, prev_solution) -> ALSolution``.
 
     With ``batched=True`` the controller runs a fleet: x_measured (B, n) and
-    a batched previous solution.
+    a batched previous solution.  ``schedule`` selects the fixed
+    real-time-iteration solver (see :func:`mpc_step`).
     """
     blocks = tuple(blocks)
 
     def step(x, prev):
-        return mpc_step(model, obj, blocks, x, prev, times, dts, opts)
+        return mpc_step(model, obj, blocks, x, prev, times, dts, opts,
+                        schedule=schedule, relin_every=relin_every)
 
     if batched:
         step = jax.vmap(step)

@@ -60,8 +60,24 @@ def _use_errstate(model: DiscreteModel, opts: SolverOptions) -> bool:
     return opts.error_state and model.model.errstate_dim != model.n
 
 
+def _linearize(model: DiscreteModel, xs, us, times, dts, opts: SolverOptions):
+    """Batched discrete Jacobians at the first N-1 knots."""
+    if opts.jacobian_mode == "approx":
+        f = model.model.dynamics
+        n = xs.shape[-1]
+        Af = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us[:-1], times[:-1])
+        Bf = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us[:-1], times[:-1])
+        dt_ = dts[:-1, None, None]
+        eye = jnp.eye(n, dtype=xs.dtype)
+        AfAf = jnp.einsum("kij,kjl->kil", Af, Af)
+        A = eye + dt_ * Af + (0.5 * dt_ * dt_) * AfAf
+        B = dt_ * Bf + (0.5 * dt_ * dt_) * jnp.einsum("kij,kjl->kil", Af, Bf)
+        return A, B
+    return jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
+
+
 def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drho,
-                   opts: SolverOptions) -> _BackwardOut:
+                   opts: SolverOptions, AB=None) -> _BackwardOut:
     """Regularized Riccati recursion (SURVEY.md §3.5 'backward Riccati pass
     w/ Quu regularization').
 
@@ -79,18 +95,9 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
     dtype = xs.dtype
 
     # Linearization and cost expansion do not depend on rho: computed ONCE,
-    # outside the regularization retry loop.
-    if opts.jacobian_mode == "approx":
-        f = model.model.dynamics
-        Af = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us[:-1], times[:-1])
-        Bf = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us[:-1], times[:-1])
-        dt_ = dts[:-1, None, None]
-        eye = jnp.eye(n, dtype=dtype)
-        AfAf = jnp.einsum("kij,kjl->kil", Af, Af)
-        A = eye + dt_ * Af + (0.5 * dt_ * dt_) * AfAf
-        B = dt_ * Bf + (0.5 * dt_ * dt_) * jnp.einsum("kij,kjl->kil", Af, Bf)
-    else:
-        A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
+    # outside the regularization retry loop.  ``AB`` lets callers reuse a
+    # previous linearization (fixed-schedule MPC steps).
+    A, B = _linearize(model, xs, us, times, dts, opts) if AB is None else AB
     exp = expand_fn(xs, us)
 
     if _use_errstate(model, opts):
