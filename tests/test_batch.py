@@ -84,3 +84,22 @@ def test_mpc_warm_start(rng):
     warm = controller(x_meas, cold)
     assert bool(warm.converged)
     assert int(warm.iterations) <= int(cold.iterations)
+
+
+def test_fixed_schedule_mpc_fleet(rng):
+    """Fixed-schedule (real-time iteration) MPC fleet: deterministic budget,
+    warm duals+penalties, batched."""
+    dm, obj, blocks, times, dts, n, m, N, xf = _setup()
+    opts = SolverOptions()
+    B = 4
+    x0s = jnp.asarray(rng.standard_normal((B, n)) * 0.3)
+    us0 = jnp.zeros((B, N, m))
+    sol = batch_solve(dm, obj, blocks, x0s, us0, times, dts, opts)
+    assert bool(jnp.all(sol.converged))
+    controller = mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts,
+                                         batched=True, schedule=(2, 1, 1))
+    x_meas = sol.xs[:, 1] + 0.01 * jnp.asarray(rng.standard_normal((B, n)))
+    warm = controller(x_meas, sol)
+    assert warm.us.shape == (B, N, m)
+    assert int(warm.iterations[0]) == 4  # static budget
+    assert float(jnp.max(warm.max_violation)) < 1e-4
