@@ -101,3 +101,18 @@ def test_quadrotor_error_state(rng):
     assert np.allclose(G.T @ G, np.eye(3), atol=1e-12)
     # state_diff of x with itself is zero
     assert np.allclose(model.state_diff(x, x), 0.0, atol=1e-12)
+
+
+def test_jacobian_chain_matches_jacfwd(rng):
+    """The integrator chain rule (jacobian_mode='chain') is machine-precision
+    identical to AD through the step, for rk4 and rk3."""
+    model = Quadrotor()
+    for integ in ("rk4", "rk3"):
+        dm = discretize(model, integ)
+        x = jnp.asarray(rng.standard_normal(13))
+        x = x.at[3:7].set(x[3:7] / jnp.linalg.norm(x[3:7]))
+        u = jnp.asarray(rng.random(4))
+        A, B = dm.jacobian(x, u, 0.1, 0.05)
+        Ac, Bc = dm.jacobian_chain(x, u, 0.1, 0.05)
+        assert np.allclose(A, Ac, atol=1e-11), integ
+        assert np.allclose(B, Bc, atol=1e-11), integ

@@ -1,0 +1,135 @@
+"""Direct-NLP layer tests, mirroring the reference's legacy NLP suite
+(test/nlp_tests.jl) and the MOI/Ipopt cross-check (test/moi_test.jl)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajopt_tpu.benchmarks import dubins_parallel_park, quickstart_problem
+from trajopt_tpu.cones import Cone
+from trajopt_tpu.nlp import TrajData, TrajOptNLP, num_vars, solve_nlp
+from trajopt_tpu.solvers import solve_problem
+from trajopt_tpu.solvers.options import SolverOptions
+
+
+def test_num_vars_and_trajdata():
+    # nlp_tests.jl:12-25
+    n, m, N = 3, 2, 101
+    NN = num_vars(n, m, N)
+    assert NN == N * n + (N - 1) * m
+    td = TrajData(n, m, N)
+    assert td.NN == NN
+    assert list(td.xinds(0)) == [0, 1, 2]
+    assert list(td.uinds(1)) == [8, 9]
+    assert list(td.xinds(N - 1)) == [NN - 3, NN - 2, NN - 1]
+    assert list(td.zinds(N - 1)) == list(td.xinds(N - 1))
+
+
+def test_pack_unpack_roundtrip():
+    prob = dubins_parallel_park(N=11)
+    prob.rollout()
+    nlp = TrajOptNLP(prob)
+    Z = nlp.pack(prob.xs, prob.us)
+    xs, us = nlp.unpack(Z)
+    assert np.allclose(xs, prob.xs)
+    assert np.allclose(us[:-1], prob.us[:-1])
+    assert np.allclose(nlp.states(Z), prob.xs)
+    assert np.allclose(nlp.controls(Z), prob.us[:-1])
+
+
+def test_cost_oracles_match_ad():
+    # eval_f identity (nlp_tests.jl:97); grad_f/hess_f vs AD (:99-109)
+    prob = dubins_parallel_park(N=11)
+    prob.rollout()
+    nlp = TrajOptNLP(prob)
+    Z = nlp.initial_trajectory()
+    assert np.isclose(float(nlp.eval_f(Z)), float(prob.cost()))
+    g_ad = jax.grad(nlp._eval_f_impl)(Z)
+    assert np.allclose(nlp.grad_f(Z), g_ad, atol=1e-12)
+    G_ad = jax.hessian(nlp._eval_f_impl)(Z)
+    assert np.allclose(nlp.hess_f(Z), np.asarray(G_ad), atol=1e-12)
+
+
+def test_jacobian_structure_and_values():
+    # JacobianStructure (nlp_tests.jl:36-69): block row/col ranges + COO data
+    prob = dubins_parallel_park(N=11)
+    prob.rollout()
+    nlp = TrajOptNLP(prob)
+    n, m, N = prob.n, prob.m, prob.N
+    s = nlp.jac_structure()
+    # first block: initial-state rows at x0 columns
+    assert list(s.cinds[0]) == list(range(n))
+    assert list(s.zinds[0]) == list(range(n))
+    # first defect block: rows n..2n at [x0,u0,x1]
+    assert list(s.cinds[1]) == list(range(n, 2 * n))
+    assert list(s.zinds[1]) == list(range(2 * n + m))
+    # nnz bookkeeping: linds are consecutive and total nnz matches
+    assert s.linds[0][0] == 0
+    assert s.linds[-1][-1] == s.nnz - 1
+    assert s.P == nlp.P and s.NN == nlp.NN
+    # assembled dense Jacobian == AD of eval_c
+    Z = nlp.initial_trajectory()
+    D = nlp.jac_c_dense(Z)
+    D_ad = np.asarray(jax.jacfwd(nlp._eval_c_impl)(Z))
+    assert np.allclose(D, D_ad, atol=1e-10)
+    # sparse path agrees
+    assert np.allclose(nlp.jac_c_sparse(Z).toarray(), D, atol=1e-14)
+
+
+def test_defects_zero_after_rollout():
+    prob = dubins_parallel_park(N=11)
+    prob.rollout()
+    nlp = TrajOptNLP(prob)
+    c = np.asarray(nlp.eval_c(nlp.initial_trajectory()))
+    n, N = prob.n, prob.N
+    assert np.abs(c[: n * N]).max() < 1e-12  # x0 block + all defects
+
+
+def test_hess_lagrangian_second_order_term():
+    # second-order constraint term (nlp_tests.jl:71-81): for this problem all
+    # stage constraints are linear, so hess_L == hess_f + dynamics curvature
+    prob = dubins_parallel_park(N=6)
+    prob.rollout()
+    nlp = TrajOptNLP(prob)
+    Z = nlp.initial_trajectory()
+    lam = jnp.zeros(nlp.P, Z.dtype)
+    H0 = nlp.hess_L(Z, lam)
+    assert np.allclose(H0, nlp.hess_f(Z), atol=1e-10)
+    lam = jnp.ones(nlp.P, Z.dtype)
+    H1 = np.asarray(nlp.hess_L(Z, lam))
+    assert not np.allclose(H1, nlp.hess_f(Z))  # dynamics defects are nonlinear
+    assert np.allclose(H1, H1.T, atol=1e-10)
+
+
+def test_primal_bounds_strip():
+    prob = dubins_parallel_park(N=11)
+    nlp = TrajOptNLP(prob, remove_bounds=True)
+    full = TrajOptNLP(prob)
+    assert nlp.P < full.P  # bound + goal blocks moved into box bounds
+    lb, ub = nlp.primal_bounds()
+    td = nlp.data
+    # control bounds at knot 0
+    assert np.all(lb[td.uinds(0)] == -2.0) and np.all(ub[td.uinds(0)] == 2.0)
+    # state bounds active at interior knots only
+    assert np.isinf(lb[td.xinds(0)]).all()
+    assert lb[td.xinds(1)][0] == -0.25 and ub[td.xinds(1)][0] == 0.25
+    # GoalConstraint fixes the terminal state
+    xf = np.asarray(jax.device_get(prob.xf))
+    assert np.allclose(lb[td.xinds(prob.N - 1)], xf)
+    assert np.allclose(ub[td.xinds(prob.N - 1)], xf)
+
+
+def test_solve_nlp_cross_checks_altro():
+    """Direct SLSQP solve vs the AL-iLQR solver on the same problem — the
+    role of the reference's Ipopt cross-check (moi_test.jl:21-27)."""
+    prob = dubins_parallel_park(N=31)
+    prob.rollout()
+    xs, us, info = solve_nlp(prob, max_iter=300)
+    assert info["success"]
+    assert info["max_violation"] < 1e-7
+    sol = solve_problem(
+        dubins_parallel_park(N=31),
+        SolverOptions(constraint_tolerance=1e-9, projected_newton=True),
+    )
+    al_cost = float(prob.obj.cost(sol.xs, sol.us))
+    # both solvers land on the same optimum (loose: different algorithms)
+    assert abs(info["cost"] - al_cost) / al_cost < 5e-3

@@ -62,5 +62,8 @@ from .constraints import (
 )
 from .constraint_list import ConstraintList, num_constraints
 from .problem import Problem
+from .nlp import TrajOptNLP, TrajData, JacobianStructure, solve_nlp
+from .hybrid import HybridModel, HybridProblem, pad_costs, pad_constraints
+from .dynamics import dims
 
 __version__ = "0.1.0"

@@ -44,22 +44,58 @@ class ConstraintList:
     restricts ControlConstraints to 1:N-1, constraint_list.jl:107-112).
     """
 
-    def __init__(self, n: int, m: int, N: int):
-        self.n = n
-        self.m = m
-        self.N = N
+    def __init__(self, n, m, N: int = None):
+        if np.ndim(n) == 1:
+            # Per-knot dims form: ConstraintList(nx, nu) — hybrid model
+            # vectors with dimension-changing jump maps
+            # (constraint_list.jl:36-37; hybrid_dynamics_model.jl:88-98).
+            nx = [int(v) for v in n]
+            nu = [int(v) for v in m]
+            if len(nx) != len(nu):
+                raise ValueError("nx and nu must have equal length N")
+            if N is not None and N != len(nx):
+                raise ValueError(f"N={N} != len(nx)={len(nx)}")
+            self.nx, self.nu = nx, nu
+            self.N = len(nx)
+            uniform = len(set(nx)) == 1 and len(set(nu)) == 1
+            self.n = nx[0] if uniform else None
+            self.m = nu[0] if uniform else None
+        else:
+            if N is None:
+                raise ValueError("ConstraintList(n, m, N) requires N")
+            self.n = int(n)
+            self.m = int(m)
+            self.N = int(N)
+            self.nx = [self.n] * self.N
+            self.nu = [self.m] * self.N
         self.constraints: List[AbstractConstraint] = []
         self.inds: List[Tuple[int, ...]] = []
+
+    @classmethod
+    def from_models(cls, models) -> "ConstraintList":
+        """Per-knot dims from a hybrid model vector (``ConstraintList(models)``;
+        hybrid_dynamics_model.jl:88)."""
+        from .dynamics import dims
+
+        nx, nu = dims(models)
+        return cls(nx, nu)
 
     # -- construction (constraint_list.jl:103-134) ----------------------------
     def add_constraint(self, con: AbstractConstraint, inds: KnotIndices, idx: int = None):
         inds = _normalize_inds(inds, self.N)
-        n = getattr(con, "n", self.n)
-        m = getattr(con, "m", self.m)
-        if con.kind in ("stage", "state") and n not in (0, self.n):
-            raise ValueError(f"constraint state dim {n} != problem state dim {self.n}")
-        if con.kind in ("stage", "control") and m not in (0, self.m):
-            raise ValueError(f"constraint control dim {m} != problem control dim {self.m}")
+        for k in inds:
+            n = getattr(con, "n", self.nx[k])
+            m = getattr(con, "m", self.nu[k])
+            if con.kind in ("stage", "state") and n not in (0, self.nx[k]):
+                raise ValueError(
+                    f"DimensionMismatch: constraint state dim {n} != state dim "
+                    f"{self.nx[k]} at knot {k}"
+                )
+            if con.kind in ("stage", "control") and m not in (0, self.nu[k]):
+                raise ValueError(
+                    f"DimensionMismatch: constraint control dim {m} != control "
+                    f"dim {self.nu[k]} at knot {k}"
+                )
         if con.kind in ("stage", "control") and (self.N - 1) in inds:
             raise ValueError("control-dependent constraints cannot include the terminal knot")
         if idx is None:
@@ -101,7 +137,7 @@ class ConstraintList:
         return [c.sense for c in self.constraints]
 
     def copy(self) -> "ConstraintList":
-        out = ConstraintList(self.n, self.m, self.N)
+        out = ConstraintList(list(self.nx), list(self.nu))
         out.constraints = list(self.constraints)
         out.inds = list(self.inds)
         return out

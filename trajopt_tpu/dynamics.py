@@ -24,6 +24,7 @@ __all__ = [
     "RK3",
     "Euler",
     "ImplicitMidpoint",
+    "dims",
     "discretize",
     "rollout",
     "linearize",
@@ -43,6 +44,13 @@ class Model:
 
     def dynamics(self, x: jax.Array, u: jax.Array, t) -> jax.Array:
         raise NotImplementedError
+
+    @property
+    def output_dim(self) -> int:
+        """Output dimension of ``dynamics``; differs from ``n`` only for
+        dimension-changing jump maps in hybrid model vectors
+        (RobotDynamics ``output_dim``; test/hybrid_dynamics_model.jl:22)."""
+        return self.n
 
     def dynamics_jacobian(self, x: jax.Array, u: jax.Array, t):
         """(df/dx, df/du) of the CONTINUOUS dynamics.
@@ -205,10 +213,104 @@ class DiscreteModel:
         B = jax.jacfwd(self.step, argnums=1)(x, u, t, dt)
         return A, B
 
+    def jacobian_chain(self, x, u, t, dt) -> Tuple[jax.Array, jax.Array]:
+        """Exact discrete Jacobians assembled via the integrator chain rule
+        from the continuous ``dynamics_jacobian`` (the reference's
+        UserDefined/analytic path).
+
+        Mathematically identical to :meth:`jacobian`; numerically it differs
+        at machine precision, and it is the better choice when the model
+        overrides ``dynamics_jacobian`` with closed forms on CPU/f64 (on TPU
+        the stage-chain's tiny matmuls underutilize the MXU — measured 23x
+        slower than jacfwd's elementwise tangent pushes, hence not the
+        default; select with ``SolverOptions(jacobian_mode="chain")``).
+        """
+        model = self.model
+        f = model.dynamics
+        jac = model.dynamics_jacobian
+        n = self.n
+
+        if self.integrator == "rk4":
+            eye = jnp.eye(n, dtype=x.dtype)
+            k1 = f(x, u, t)
+            a2 = x + 0.5 * dt * k1
+            k2 = f(a2, u, t + 0.5 * dt)
+            a3 = x + 0.5 * dt * k2
+            J1x, J1u = jac(x, u, t)
+            J2x, J2u = jac(a2, u, t + 0.5 * dt)
+            J3x, J3u = jac(a3, u, t + 0.5 * dt)
+            a4 = x + dt * f(a3, u, t + 0.5 * dt)
+            J4x, J4u = jac(a4, u, t + dt)
+            K1x, K1u = J1x, J1u
+            K2x = J2x @ (eye + 0.5 * dt * K1x)
+            K2u = J2x @ (0.5 * dt * K1u) + J2u
+            K3x = J3x @ (eye + 0.5 * dt * K2x)
+            K3u = J3x @ (0.5 * dt * K2u) + J3u
+            K4x = J4x @ (eye + dt * K3x)
+            K4u = J4x @ (dt * K3u) + J4u
+            A = eye + (dt / 6.0) * (K1x + 2 * K2x + 2 * K3x + K4x)
+            B = (dt / 6.0) * (K1u + 2 * K2u + 2 * K3u + K4u)
+            return A, B
+
+        if self.integrator == "rk3":
+            eye = jnp.eye(n, dtype=x.dtype)
+            k1 = f(x, u, t)
+            a2 = x + 0.5 * dt * k1
+            k2 = f(a2, u, t + 0.5 * dt)
+            a3 = x - dt * k1 + 2 * dt * k2
+            J1x, J1u = jac(x, u, t)
+            J2x, J2u = jac(a2, u, t + 0.5 * dt)
+            J3x, J3u = jac(a3, u, t + dt)
+            K1x, K1u = J1x, J1u
+            K2x = J2x @ (eye + 0.5 * dt * K1x)
+            K2u = J2x @ (0.5 * dt * K1u) + J2u
+            K3x = J3x @ (eye - dt * K1x + 2 * dt * K2x)
+            K3u = J3x @ (-dt * K1u + 2 * dt * K2u) + J3u
+            A = eye + (dt / 6.0) * (K1x + 4 * K2x + K3x)
+            B = (dt / 6.0) * (K1u + 4 * K2u + K3u)
+            return A, B
+
+        return self.jacobian(x, u, t, dt)
+
+
+def dims(models) -> Tuple[list, list]:
+    """Per-knot state/control dims of a hybrid model vector
+    (RD.dims(models::Vector); src/dynamics.jl:15-31, hybrid_dynamics_model.jl:52-54).
+
+    ``models`` has N-1 entries (one per step); returns length-N ``nx, nu``.
+    Validates the output/state chain: ``output_dim(models[k])`` must equal
+    ``state_dim(models[k+1])`` (jump maps change dimension); raises
+    ``ValueError`` otherwise (the reference's DimensionMismatch,
+    hybrid_dynamics_model.jl:60-65).
+    """
+    models = list(models)
+    if not models:
+        raise ValueError("empty model vector")
+
+    def _nm(mod):
+        base = mod.model if isinstance(mod, DiscreteModel) else mod
+        return base.n, base.m, base.output_dim
+
+    nx, nu = [], []
+    for k, mod in enumerate(models):
+        n, m, p = _nm(mod)
+        nx.append(n)
+        nu.append(m)
+        if k + 1 < len(models):
+            n_next = _nm(models[k + 1])[0]
+            if p != n_next:
+                raise ValueError(
+                    f"DimensionMismatch: model {k} output dim {p} != "
+                    f"model {k + 1} state dim {n_next} (missing jump map?)"
+                )
+    nx.append(_nm(models[-1])[2])
+    nu.append(nu[-1])
+    return nx, nu
+
 
 def discretize(model: Model, integrator: str = "rk4") -> DiscreteModel:
     """Wrap a continuous model with an integrator (problem.jl:119-123)."""
-    if isinstance(model, DiscreteModel):
+    if isinstance(model, DiscreteModel) or getattr(model, "is_discrete", False):
         return model
     integrator = integrator.lower()
     if integrator not in _INTEGRATORS:

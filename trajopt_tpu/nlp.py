@@ -1,0 +1,466 @@
+"""Direct NLP transcription of a Problem (the reference's ``TrajOptNLP``).
+
+The reference exports ``TrajOptNLP`` (src/TrajectoryOptimization.jl:38) whose
+v0.5/0.6 implementation survives as documented behavior in the legacy tests:
+flattened primal vector + cost/constraint oracles + block-sparse Jacobian
+structure (test/nlp_tests.jl), consumed by MathOptInterface/Ipopt
+(test/moi_test.jl).  This module is the TPU-native rebuild of that layer:
+
+* Variable vector ``Z = [x_0; u_0; x_1; u_1; ...; x_{N-2}; u_{N-2}; x_{N-1}]``
+  with ``NN = N*n + (N-1)*m`` (RobotDynamics ``num_vars``; nlp_tests.jl:13-14).
+* ``eval_f / grad_f / hess_f``: total cost and its derivatives.  ``grad_f``
+  and ``hess_f`` are assembled from the objective's per-knot second-order
+  expansion (one vmapped kernel) exactly like the reference writes per-knot
+  expansions into views of the big gradient/Hessian (nlp_tests.jl:99-109);
+  both are validated against whole-vector AD in tests.
+* Explicit dynamics-defect constraints (``add_dynamics_constraints!``,
+  nlp_tests.jl:29): initial-state equality, per-step defects
+  ``f(x_k, u_k) - x_{k+1} = 0``, then the problem's stage constraints in
+  list order.
+* ``JacobianStructure`` analog (nlp_tests.jl:36-69): per-block row ranges
+  (``cinds``), column ranges (``zinds``), and running nonzero offsets
+  (``linds``); ``jac_c`` returns matching COO data assembled from the
+  analytic per-knot Jacobians.
+* A host-side direct solve adapter (:func:`solve_nlp`) that plays the role
+  of the removed MOI/Ipopt path for cross-checking the AL-iLQR solver
+  (quality anchors: test/moi_test.jl:21-27).
+
+The flattened view is host/validation-facing: the TPU throughput path stays
+the batched AL-iLQR solver.  Everything here is still jit-compiled JAX, so
+oracles are cheap enough for Ipopt-class SQP loops on CPU.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cones import Cone, violation as cone_violation
+from .constraint_list import ConstraintList
+from .problem import Problem
+
+__all__ = ["TrajData", "TrajOptNLP", "JacobianStructure", "solve_nlp"]
+
+
+def num_vars(n: int, m: int, N: int) -> int:
+    """Total primal variables (RobotDynamics.num_vars; nlp_tests.jl:13-14)."""
+    return N * n + (N - 1) * m
+
+
+@dataclass(frozen=True)
+class TrajData:
+    """Index map from knot-point variables into the flat vector Z
+    (the reference's ``TrajData``/``NLPTraj``, nlp_tests.jl:16-25)."""
+
+    n: int
+    m: int
+    N: int
+
+    @property
+    def NN(self) -> int:
+        return num_vars(self.n, self.m, self.N)
+
+    def xinds(self, k: int) -> np.ndarray:
+        off = k * (self.n + self.m)
+        return np.arange(off, off + self.n)
+
+    def uinds(self, k: int) -> np.ndarray:
+        if k >= self.N - 1:
+            raise IndexError("terminal knot has no control variables")
+        off = k * (self.n + self.m) + self.n
+        return np.arange(off, off + self.m)
+
+    def zinds(self, k: int) -> np.ndarray:
+        """Indices of [x_k; u_k] (x only at the terminal knot)."""
+        if k == self.N - 1:
+            return self.xinds(k)
+        return np.arange(k * (self.n + self.m), (k + 1) * (self.n + self.m))
+
+
+@dataclass(frozen=True)
+class _Block:
+    """One constraint block: `dim` rows at Z columns `cols` with cone `sense`."""
+
+    name: str
+    k: int  # knot index (defect blocks: the step index)
+    dim: int
+    cols: np.ndarray
+    sense: Cone
+    con_index: Optional[int] = None  # index into ConstraintList, None = dynamics
+
+
+@dataclass(frozen=True)
+class JacobianStructure:
+    """Block-sparse structure of the constraint Jacobian
+    (the reference's ``JacobianStructure``; nlp_tests.jl:36-59).
+
+    ``cinds[b]`` — row range of block b, ``zinds[b]`` — column indices,
+    ``linds[b]`` — positions of the block's entries in the flat nonzero
+    vector.  ``rows``/``cols`` are the full COO pattern with ``nnz`` entries.
+    """
+
+    cinds: List[np.ndarray]
+    zinds: List[np.ndarray]
+    linds: List[np.ndarray]
+    rows: np.ndarray
+    cols: np.ndarray
+    P: int
+    NN: int
+
+    @property
+    def nnz(self) -> int:
+        return len(self.rows)
+
+
+class TrajOptNLP:
+    """Flattened direct-NLP view of a :class:`Problem`.
+
+    min_Z eval_f(Z)  s.t.  eval_c(Z) in K  (block-wise cones),
+    with optional primal box bounds extracted from ``is_bound`` constraints
+    (``primal_bounds!``, abstract_constraint.jl:107-139).
+    """
+
+    def __init__(self, prob: Problem, remove_bounds: bool = False):
+        self.prob = prob
+        self.n, self.m, self.N = prob.n, prob.m, prob.N
+        self.data = TrajData(self.n, self.m, self.N)
+        self.remove_bounds = remove_bounds
+
+        self._blocks: List[_Block] = []
+        td = self.data
+        # 1) initial-state equality x_0 = x0.
+        self._blocks.append(_Block("x0", 0, self.n, td.xinds(0), Cone.ZERO))
+        # 2) dynamics defects f(x_k, u_k) - x_{k+1} = 0, k = 0..N-2.
+        for k in range(self.N - 1):
+            cols = np.concatenate([td.xinds(k), td.uinds(k), td.xinds(k + 1)])
+            self._blocks.append(_Block("dyn", k, self.n, cols, Cone.ZERO))
+        # 3) stage constraints in list order x knot order.
+        for ci, (con, inds) in enumerate(prob.constraints.blocks()):
+            if remove_bounds and con.is_bound:
+                continue
+            for k in inds:
+                if con.kind == "state":
+                    cols = td.xinds(k)
+                elif con.kind == "control":
+                    cols = td.uinds(k)
+                else:
+                    cols = td.zinds(k)
+                self._blocks.append(
+                    _Block(type(con).__name__, k, con.output_dim, cols, con.sense, ci)
+                )
+
+        self.P = sum(b.dim for b in self._blocks)
+
+        # jitted oracles
+        self._eval_f = jax.jit(self._eval_f_impl)
+        self._grad_f = jax.jit(self._grad_f_impl)
+        self._eval_c = jax.jit(self._eval_c_impl)
+        self._jac_data = jax.jit(self._jac_data_impl)
+        self._hess_f_blocks = jax.jit(self._hess_f_blocks_impl)
+        self._structure: Optional[JacobianStructure] = None
+
+    # -- packing (NLPTraj; nlp_tests.jl:16-25) --------------------------------
+    @property
+    def NN(self) -> int:
+        return self.data.NN
+
+    def pack(self, xs, us) -> jax.Array:
+        """Flatten (N, n) states + (N, m) or (N-1, m) controls into Z."""
+        xs = jnp.asarray(xs)
+        us = jnp.asarray(us)
+        n, m, N = self.n, self.m, self.N
+        body = jnp.concatenate([xs[: N - 1], us[: N - 1]], axis=1).reshape(-1)
+        return jnp.concatenate([body, xs[N - 1]])
+
+    def unpack(self, Z) -> Tuple[jax.Array, jax.Array]:
+        """Z -> ((N, n) states, (N, m) controls, terminal row zero)."""
+        Z = jnp.asarray(Z)
+        n, m, N = self.n, self.m, self.N
+        body = Z[: (N - 1) * (n + m)].reshape(N - 1, n + m)
+        xs = jnp.concatenate([body[:, :n], Z[-n:][None]], axis=0)
+        us = jnp.concatenate([body[:, n:], jnp.zeros((1, m), Z.dtype)], axis=0)
+        return xs, us
+
+    def states(self, Z):
+        return self.unpack(Z)[0]
+
+    def controls(self, Z):
+        return self.unpack(Z)[1][:-1]
+
+    # -- cost oracles ---------------------------------------------------------
+    def _eval_f_impl(self, Z):
+        xs, us = self.unpack(Z)
+        return self.prob.obj.cost(xs, us)
+
+    def eval_f(self, Z) -> jax.Array:
+        """Total cost (nlp_tests.jl:97)."""
+        return self._eval_f(Z)
+
+    def _grad_f_impl(self, Z):
+        # Assembled from the per-knot expansion (the reference's grad_f!,
+        # nlp_tests.jl:99) rather than whole-vector AD: one vmapped kernel.
+        xs, us = self.unpack(Z)
+        e = self.prob.obj.expansion(xs, us)
+        body = jnp.concatenate([e.x[:-1], e.u[:-1]], axis=1).reshape(-1)
+        return jnp.concatenate([body, e.x[-1]])
+
+    def grad_f(self, Z) -> jax.Array:
+        return self._grad_f(Z)
+
+    def _hess_f_blocks_impl(self, Z):
+        xs, us = self.unpack(Z)
+        e = self.prob.obj.expansion(xs, us)
+        return e.xx, e.uu, e.ux
+
+    def hess_f(self, Z) -> np.ndarray:
+        """Dense cost Hessian assembled from per-knot blocks (hess_f!,
+        nlp_tests.jl:103-109).  Block-diagonal: no cross-knot coupling."""
+        xx, uu, ux = jax.device_get(self._hess_f_blocks(Z))
+        G = np.zeros((self.NN, self.NN))
+        td = self.data
+        for k in range(self.N):
+            xi = td.xinds(k)
+            G[np.ix_(xi, xi)] = xx[k]
+            if k < self.N - 1:
+                ui = td.uinds(k)
+                G[np.ix_(ui, ui)] = uu[k]
+                G[np.ix_(ui, xi)] = ux[k]
+                G[np.ix_(xi, ui)] = ux[k].T
+        return G
+
+    def hess_L(self, Z, lam) -> jax.Array:
+        """Lagrangian Hessian via AD: d2/dZ2 [f(Z) + lam' c(Z)] — the
+        second-order constraint term the reference adds with
+        ``nabla-jacobian!`` (nlp_tests.jl:71-81)."""
+        Z = jnp.asarray(Z)
+        lam = jnp.asarray(lam)
+        return jax.hessian(lambda z: self.eval_f(z) + lam @ self._eval_c_impl(z))(Z)
+
+    # -- constraint oracles -----------------------------------------------------
+    def _defects(self, xs, us):
+        model = self.prob.model
+        times, dts = self.prob.times, self.prob.dts
+        step = jax.vmap(model.step)
+        xn = step(xs[:-1], us[:-1], times[:-1], dts[:-1])
+        return xn - xs[1:]
+
+    def _eval_c_impl(self, Z):
+        xs, us = self.unpack(Z)
+        parts = [xs[0] - self.prob.x0]
+        parts.append(self._defects(xs, us).reshape(-1))
+        for ci, (con, inds) in enumerate(self.prob.constraints.blocks()):
+            if self.remove_bounds and con.is_bound:
+                continue
+            ks = np.asarray(inds)
+            vals = jax.vmap(con.evaluate)(xs[ks], us[ks])
+            parts.append(vals.reshape(-1))
+        return jnp.concatenate(parts)
+
+    def eval_c(self, Z) -> jax.Array:
+        """All constraint values stacked in block order (eval_c!,
+        nlp_tests.jl:119)."""
+        return self._eval_c(Z)
+
+    def max_violation(self, Z) -> jax.Array:
+        """Worst cone violation over all blocks (max_violation analog)."""
+        c = jax.device_get(self.eval_c(Z))
+        off, worst = 0, 0.0
+        for b in self._blocks:
+            v = cone_violation(b.sense, jnp.asarray(c[off : off + b.dim]))
+            worst = max(worst, float(jnp.max(v)) if v.size else 0.0)
+            off += b.dim
+        return worst
+
+    # -- Jacobian structure + values -------------------------------------------
+    def jac_structure(self) -> JacobianStructure:
+        """Static COO pattern (JacobianStructure; nlp_tests.jl:36-59)."""
+        if self._structure is not None:
+            return self._structure
+        cinds, zinds, linds = [], [], []
+        rows, cols = [], []
+        r0, l0 = 0, 0
+        for b in self._blocks:
+            ri = np.arange(r0, r0 + b.dim)
+            cinds.append(ri)
+            zinds.append(b.cols)
+            nz = b.dim * len(b.cols)
+            linds.append(np.arange(l0, l0 + nz))
+            rr, cc = np.meshgrid(ri, b.cols, indexing="ij")
+            rows.append(rr.reshape(-1))
+            cols.append(cc.reshape(-1))
+            r0 += b.dim
+            l0 += nz
+        self._structure = JacobianStructure(
+            cinds=cinds, zinds=zinds, linds=linds,
+            rows=np.concatenate(rows), cols=np.concatenate(cols),
+            P=self.P, NN=self.NN,
+        )
+        return self._structure
+
+    def _jac_data_impl(self, Z):
+        xs, us = self.unpack(Z)
+        model = self.prob.model
+        times, dts = self.prob.times, self.prob.dts
+        parts = [jnp.eye(self.n, dtype=Z.dtype).reshape(-1)]  # x0 block
+        A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
+        negI = -jnp.eye(self.n, dtype=Z.dtype)
+        dyn = jnp.concatenate(
+            [A, B, jnp.broadcast_to(negI, (self.N - 1, self.n, self.n))], axis=2
+        )
+        parts.append(dyn.reshape(-1))
+        for ci, (con, inds) in enumerate(self.prob.constraints.blocks()):
+            if self.remove_bounds and con.is_bound:
+                continue
+            ks = np.asarray(inds)
+            J = jax.vmap(con.jacobian)(xs[ks], us[ks])  # (K, p, n+m)
+            if con.kind == "state":
+                J = J[:, :, : self.n]
+            elif con.kind == "control":
+                J = J[:, :, self.n :]
+            parts.append(J.reshape(-1))
+        return jnp.concatenate(parts)
+
+    def jac_c(self, Z) -> np.ndarray:
+        """Flat nonzero vector matching :meth:`jac_structure` order."""
+        return np.asarray(jax.device_get(self._jac_data(Z)))
+
+    def jac_c_dense(self, Z) -> np.ndarray:
+        s = self.jac_structure()
+        D = np.zeros((s.P, s.NN))
+        np.add.at(D, (s.rows, s.cols), self.jac_c(Z))
+        return D
+
+    def jac_c_sparse(self, Z):
+        """scipy CSR constraint Jacobian."""
+        import scipy.sparse as sp
+
+        s = self.jac_structure()
+        return sp.coo_matrix(
+            (self.jac_c(Z), (s.rows, s.cols)), shape=(s.P, s.NN)
+        ).tocsr()
+
+    # -- bounds + senses ---------------------------------------------------------
+    def primal_bounds(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Box bounds on Z from ``is_bound`` constraints (primal_bounds!;
+        only meaningful with ``remove_bounds=True``)."""
+        lb = np.full(self.NN, -np.inf)
+        ub = np.full(self.NN, np.inf)
+        td = self.data
+        for con, inds in self.prob.constraints.blocks():
+            if not con.is_bound:
+                continue
+            for k in inds:
+                zi = td.zinds(k)
+                clb, cub = np.asarray(con.lower_bound()), np.asarray(con.upper_bound())
+                if type(con).__name__ == "GoalConstraint":
+                    xi = td.xinds(k)[np.asarray(con.inds)]
+                    xf = np.asarray(jax.device_get(con.xf))
+                    lb[xi] = np.maximum(lb[xi], xf)
+                    ub[xi] = np.minimum(ub[xi], xf)
+                    continue
+                w = len(zi)
+                lb[zi] = np.maximum(lb[zi], clb[:w])
+                ub[zi] = np.minimum(ub[zi], cub[:w])
+        return lb, ub
+
+    def block_senses(self) -> List[Tuple[Cone, np.ndarray]]:
+        """(sense, row-indices) per block, for solver adapters."""
+        out, off = [], 0
+        for b in self._blocks:
+            out.append((b.sense, np.arange(off, off + b.dim)))
+            off += b.dim
+        return out
+
+    def initial_trajectory(self) -> jax.Array:
+        """Z packed from the problem's current trajectory
+        (initial_trajectory!, nlp_tests.jl:112)."""
+        return self.pack(self.prob.xs, self.prob.us)
+
+
+def solve_nlp(prob: Problem, Z0=None, max_iter: int = 500, tol: float = 1e-10,
+              verbose: bool = False):
+    """Direct solve via SLSQP over the flattened NLP — the stand-in for the
+    reference's removed MOI/Ipopt path (test/moi_test.jl), used to
+    cross-check the AL-iLQR solver on CPU/f64.
+
+    Box (``is_bound``) constraints become variable bounds; ZERO blocks become
+    equalities; NEGATIVE_ORTHANT blocks become ``-c >= 0``; SECOND_ORDER
+    blocks ``[v; s]`` are scalarized to ``s - ||v|| >= 0`` (smooth away from
+    v = 0, matching the NormConstraint geometry).
+    """
+    from scipy.optimize import minimize
+
+    nlp = TrajOptNLP(prob, remove_bounds=True)
+    if Z0 is None:
+        Z0 = nlp.initial_trajectory()
+    Z0 = np.asarray(jax.device_get(Z0), dtype=np.float64)
+    Z0 = np.nan_to_num(Z0)
+
+    senses = nlp.block_senses()
+    eq_rows = np.concatenate(
+        [r for s, r in senses if s is Cone.ZERO] or [np.array([], int)]
+    )
+    ineq_rows = np.concatenate(
+        [r for s, r in senses if s is Cone.NEGATIVE_ORTHANT] or [np.array([], int)]
+    )
+    soc_blocks = [r for s, r in senses if s is Cone.SECOND_ORDER]
+
+    def cvals(Z):
+        return np.asarray(jax.device_get(nlp.eval_c(jnp.asarray(Z))))
+
+    def cjac(Z):
+        return nlp.jac_c_dense(jnp.asarray(Z))
+
+    cons = []
+    if len(eq_rows):
+        cons.append({
+            "type": "eq",
+            "fun": lambda Z: cvals(Z)[eq_rows],
+            "jac": lambda Z: cjac(Z)[eq_rows],
+        })
+    if len(ineq_rows):
+        cons.append({
+            "type": "ineq",
+            "fun": lambda Z: -cvals(Z)[ineq_rows],
+            "jac": lambda Z: -cjac(Z)[ineq_rows],
+        })
+    for r in soc_blocks:
+        v_rows, s_row = r[:-1], r[-1]
+
+        def soc_fun(Z, v_rows=v_rows, s_row=s_row):
+            c = cvals(Z)
+            return np.array([c[s_row] - np.sqrt(c[v_rows] @ c[v_rows] + 1e-16)])
+
+        def soc_jac(Z, v_rows=v_rows, s_row=s_row):
+            c, J = cvals(Z), cjac(Z)
+            nv = np.sqrt(c[v_rows] @ c[v_rows] + 1e-16)
+            return (J[s_row] - (c[v_rows] / nv) @ J[v_rows])[None, :]
+
+        cons.append({"type": "ineq", "fun": soc_fun, "jac": soc_jac})
+
+    lb, ub = nlp.primal_bounds()
+    bounds = list(zip(lb, ub))
+
+    res = minimize(
+        lambda Z: float(nlp.eval_f(jnp.asarray(Z))),
+        Z0,
+        jac=lambda Z: np.asarray(jax.device_get(nlp.grad_f(jnp.asarray(Z)))),
+        bounds=bounds,
+        constraints=cons,
+        method="SLSQP",
+        options={"maxiter": max_iter, "ftol": tol, "disp": verbose},
+    )
+    Z = jnp.asarray(res.x)
+    xs, us = nlp.unpack(Z)
+    full = TrajOptNLP(prob, remove_bounds=False)
+    info = {
+        "success": bool(res.success),
+        "iterations": int(res.get("nit", -1)),
+        "cost": float(nlp.eval_f(Z)),
+        "max_violation": float(full.max_violation(full.pack(xs, us))),
+        "message": str(res.message),
+    }
+    return xs, us, info

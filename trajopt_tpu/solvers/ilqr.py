@@ -73,6 +73,9 @@ def _linearize(model: DiscreteModel, xs, us, times, dts, opts: SolverOptions):
         A = eye + dt_ * Af + (0.5 * dt_ * dt_) * AfAf
         B = dt_ * Bf + (0.5 * dt_ * dt_) * jnp.einsum("kij,kjl->kil", Af, Bf)
         return A, B
+    if opts.jacobian_mode == "chain":
+        return jax.vmap(model.jacobian_chain)(xs[:-1], us[:-1], times[:-1],
+                                              dts[:-1])
     return jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
 
 

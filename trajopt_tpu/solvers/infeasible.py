@@ -66,6 +66,12 @@ class SlackModel:
         eye = jnp.eye(self.base.n, dtype=x.dtype)
         return A, jnp.concatenate([B, eye], axis=1)
 
+    def jacobian_chain(self, x, u, t, dt):
+        m0 = self.base.m
+        A, B = self.base.jacobian_chain(x, u[:m0], t, dt)
+        eye = jnp.eye(self.base.n, dtype=x.dtype)
+        return A, jnp.concatenate([B, eye], axis=1)
+
 
 def _augment_objective(obj: Objective, n: int, slack_weight: float) -> Objective:
     """Extend the control dimension of a stacked objective with slack

@@ -48,6 +48,10 @@ class SolverOptions:
     # (A = I + dt Af + dt^2/2 Af^2) — ~4x less compute/bandwidth; iLQR is
     # Gauss-Newton, so approximate Jacobians trade convergence rate, not
     # solution accuracy (the forward rollout stays exact).
+    # "chain" assembles the same exact Jacobians via the integrator chain
+    # rule from analytic dynamics_jacobian overrides — machine-precision
+    # equivalent to "exact", preferred on CPU/f64 where closed forms exist
+    # (on TPU the stage-chain's tiny matmuls are ~23x slower than jacfwd).
     jacobian_mode: str = "exact"
 
     # -- Riccati backward pass ------------------------------------------------
