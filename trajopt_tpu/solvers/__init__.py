@@ -1,7 +1,7 @@
 """Solvers: iLQR, AL-iLQR, ALTRO (the Altro.jl role, SURVEY.md §2.2/§3.5)."""
 from .options import SolverOptions
 from .ilqr import ILQRResult, ilqr_solve
-from .al import ALSolution, ConstraintBlock, al_solve, make_al_functions
+from .al import ALSolution, ConstraintBlock, SolveStats, al_solve, make_al_functions
 from .altro import ALTROSolver, iLQRSolver, solve, solve_problem
 
 __all__ = [
@@ -9,6 +9,7 @@ __all__ = [
     "ILQRResult",
     "ilqr_solve",
     "ALSolution",
+    "SolveStats",
     "ConstraintBlock",
     "al_solve",
     "make_al_functions",

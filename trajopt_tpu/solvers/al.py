@@ -55,6 +55,25 @@ class ConstraintBlock:
 
 
 @struct.dataclass
+class SolveStats:
+    """Per-outer-iteration history, accumulated IN-DEVICE (no host
+    callbacks) — the reference solvers' ``stats`` log of cost, violation,
+    and iteration counts (docs/old/solving.md 'Statistics';
+    docs/old/solver_interface.md 'stats' field).
+
+    Arrays have static length ``iterations_outer``; ``count`` marks the
+    filled prefix.  Batched solves carry a leading scenario axis.
+    """
+
+    cost: jax.Array               # (O,)
+    violation: jax.Array          # (O,)
+    gradient: jax.Array           # (O,)
+    inner_iterations: jax.Array   # (O,) int32, per-outer iLQR iterations
+    penalty_max: jax.Array        # (O,) max penalty after the update
+    count: jax.Array              # scalar int32: outer iterations recorded
+
+
+@struct.dataclass
 class ALSolution:
     xs: jax.Array
     us: jax.Array
@@ -66,6 +85,7 @@ class ALSolution:
     converged: jax.Array
     duals: Any                   # tuple of (K_i, p_i) dual arrays
     penalties: Any               # tuple of (K_i,) penalty scalars
+    stats: Any = None            # SolveStats | None
 
 
 def _contiguous(inds) -> bool:
@@ -254,14 +274,32 @@ def al_solve(
     if penalties_init is not None:
         mus = penalties_init
 
+    O = int(opts.iterations_outer)
+
+    def _empty_stats():
+        return SolveStats(
+            cost=jnp.zeros((O,), dtype), violation=jnp.zeros((O,), dtype),
+            gradient=jnp.zeros((O,), dtype),
+            inner_iterations=jnp.zeros((O,), jnp.int32),
+            penalty_max=jnp.zeros((O,), dtype),
+            count=jnp.zeros((), jnp.int32),
+        )
+
     if not blocks:
         res = ilqr_solve(model, obj.cost, obj.expansion, x0, xs0, us_init,
                          times, dts, opts)
+        stats0 = _empty_stats()
+        stats0 = stats0.replace(
+            cost=stats0.cost.at[0].set(res.J),
+            gradient=stats0.gradient.at[0].set(res.gradient),
+            inner_iterations=stats0.inner_iterations.at[0].set(res.iterations),
+            count=jnp.ones((), jnp.int32),
+        )
         return ALSolution(
             xs=res.xs, us=res.us, J=res.J, max_violation=jnp.zeros((), dtype),
             iterations=res.iterations, outer_iterations=jnp.zeros((), jnp.int32),
             gradient=res.gradient, converged=res.converged, duals=lams,
-            penalties=mus,
+            penalties=mus, stats=stats0,
         )
 
     class Carry(NamedTuple):
@@ -276,6 +314,7 @@ def al_solve(
         outer: jax.Array
         converged: jax.Array
         failed: jax.Array
+        stats: Any
 
     def cond(s: Carry):
         return (~s.converged) & (s.outer < opts.iterations_outer) \
@@ -305,11 +344,21 @@ def al_solve(
             update_penalties(s.mus, opts), s.mus,
         )
         J_true = obj.cost(res.xs, res.us)
+        mu_max = jnp.max(jnp.stack([jnp.max(mu) for mu in mus_n]))
+        i = jnp.minimum(s.outer, O - 1)
+        stats_n = s.stats.replace(
+            cost=s.stats.cost.at[i].set(J_true),
+            violation=s.stats.violation.at[i].set(viol),
+            gradient=s.stats.gradient.at[i].set(res.gradient),
+            inner_iterations=s.stats.inner_iterations.at[i].set(res.iterations),
+            penalty_max=s.stats.penalty_max.at[i].set(mu_max),
+            count=s.outer + 1,
+        )
         return Carry(
             xs=res.xs, us=res.us, lams=lams_n, mus=mus_n, J=J_true, viol=viol,
             grad=res.gradient, inner_iters=s.inner_iters + res.iterations,
             outer=s.outer + 1, converged=converged,
-            failed=res.failed,
+            failed=res.failed, stats=stats_n,
         )
 
     init = Carry(
@@ -321,6 +370,7 @@ def al_solve(
         outer=jnp.zeros((), jnp.int32),
         converged=jnp.array(False),
         failed=jnp.array(False),
+        stats=_empty_stats(),
     )
     out = jax.lax.while_loop(cond, body, init)
 
@@ -329,7 +379,7 @@ def al_solve(
             xs=out.xs, us=out.us, J=out.J, max_violation=out.viol,
             iterations=out.inner_iters, outer_iterations=out.outer,
             gradient=out.grad, converged=out.converged,
-            duals=out.lams, penalties=out.mus,
+            duals=out.lams, penalties=out.mus, stats=out.stats,
         )
 
     # Final polish: one more inner solve at the tight tolerance with the
@@ -358,5 +408,5 @@ def al_solve(
         outer_iterations=out.outer,
         gradient=grad_f,
         converged=out.converged & (viol_f < opts.constraint_tolerance),
-        duals=out.lams, penalties=out.mus,
+        duals=out.lams, penalties=out.mus, stats=out.stats,
     )

@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..problem import Problem
 from .al import ALSolution, ConstraintBlock, al_solve
@@ -82,9 +83,10 @@ class ALTROSolver:
             self.print_summary()
         return self.solution
 
-    def print_summary(self):
+    def print_summary(self, verbose: bool = False):
         """Solve summary (the reference's show_summary/verbose output,
-        Cartpole.ipynb; docs/old/solving.md 'Logging')."""
+        Cartpole.ipynb; docs/old/solving.md 'Logging').  ``verbose`` adds the
+        per-outer-iteration stats table (the reference's iteration log)."""
         s = self.solution
         print(
             f"ALTRO solve: {'CONVERGED' if bool(s.converged) else 'MAX ITERATIONS'}\n"
@@ -94,6 +96,34 @@ class ALTROSolver:
             f"{int(s.outer_iterations)} outer\n"
             f"  gradient:      {float(s.gradient):.3e}"
         )
+        if verbose and s.stats is not None:
+            st = self.stats()
+            print("  iter |       cost |  violation |   gradient | inner |  mu_max")
+            for i in range(len(st["cost"])):
+                print(
+                    f"  {i + 1:4d} | {st['cost'][i]:10.5g} "
+                    f"| {st['violation'][i]:10.3e} "
+                    f"| {st['gradient'][i]:10.3e} "
+                    f"| {int(st['inner_iterations'][i]):5d} "
+                    f"| {st['penalty_max'][i]:8.2g}"
+                )
+
+    def stats(self) -> dict:
+        """Per-outer-iteration history trimmed to the recorded prefix — the
+        reference solvers' ``stats`` log (docs/old/solving.md 'Statistics')."""
+        self._require_solution()
+        st = self.solution.stats
+        if st is None:
+            return {}
+        count = int(jax.device_get(st.count))
+        return {
+            "cost": np.asarray(jax.device_get(st.cost))[:count],
+            "violation": np.asarray(jax.device_get(st.violation))[:count],
+            "gradient": np.asarray(jax.device_get(st.gradient))[:count],
+            "inner_iterations": np.asarray(
+                jax.device_get(st.inner_iterations))[:count],
+            "penalty_max": np.asarray(jax.device_get(st.penalty_max))[:count],
+        }
 
     def get_model(self):
         return self.prob.model
