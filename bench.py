@@ -83,6 +83,10 @@ def main():
         cost_tolerance_intermediate=1e-2, gradient_tolerance=1e-4,
         gradient_tolerance_intermediate=1e-3, bp_reg_initial=1e-6,
         iterations=120, iterations_outer=8, iterations_inner=40,
+        # stats=None keeps the solution pytree structure identical between
+        # the cold al_solve and the fixed-schedule MPC steps — the timed
+        # loop must never retrace.
+        record_stats=False,
     )
     # MPC budget: a bounded warm-started re-solve with a lean line search.
     # Warm-started re-solves converge in ~5 iterations (median); the cap is

@@ -116,3 +116,48 @@ def test_quat_cost_addition(rng):
     x = jnp.asarray(rng.standard_normal(n)); u = jnp.asarray(rng.standard_normal(m))
     assert float(c3.stage_cost(x, u)) == pytest.approx(
         float(c1.stage_cost(x, u)) + float(c2.stage_cost(x, u)))
+
+
+def test_cost_change_dimension():
+    """Embedding identity (cost_functions.jl:391, lie_costs.jl:144): the
+    embedded cost evaluates identically on the embedded state/control."""
+    import jax.numpy as jnp
+    from trajopt_tpu.costs import change_dimension
+
+    rng = np.random.default_rng(3)
+    x, u = rng.standard_normal(4), rng.standard_normal(2)
+    ix, iu = [1, 2, 4, 5], [0, 2]
+    X = jnp.zeros(6).at[jnp.array(ix)].set(x)
+    U = jnp.zeros(3).at[jnp.array(iu)].set(u)
+
+    dc = DiagonalCost.create(rng.random(4) + 1, rng.random(2) + 1,
+                             q=rng.standard_normal(4),
+                             r=rng.standard_normal(2), c=0.3)
+    dc2 = change_dimension(dc, 6, 3, ix=ix, iu=iu)
+    assert np.isclose(float(dc.stage_cost(jnp.asarray(x), jnp.asarray(u))),
+                      float(dc2.stage_cost(X, U)))
+    assert np.isclose(float(dc.term_cost(jnp.asarray(x))),
+                      float(dc2.term_cost(X)))
+
+    Qm = rng.standard_normal((4, 4)); Qm = Qm @ Qm.T + 4 * np.eye(4)
+    Rm = rng.standard_normal((2, 2)); Rm = Rm @ Rm.T + 2 * np.eye(2)
+    qc = QuadraticCost.create(Qm, Rm, H=rng.standard_normal((2, 4)),
+                              q=rng.standard_normal(4),
+                              r=rng.standard_normal(2), c=-0.1)
+    qc2 = change_dimension(qc, 6, 3, ix=ix, iu=iu)
+    assert np.isclose(float(qc.stage_cost(jnp.asarray(x), jnp.asarray(u))),
+                      float(qc2.stage_cost(X, U)))
+
+    # quaternion cost: q_ind remaps through ix
+    xf = np.zeros(13); xf[3] = 1.0
+    quat = QuatLQRCost(np.ones(13), np.ones(4), xf, w=0.5)
+    big = change_dimension(quat, 15, 5, ix=list(range(2, 15)),
+                           iu=list(range(4)))
+    assert big.q_ind == (5, 6, 7, 8)
+    xq = rng.standard_normal(13)
+    xq[3:7] /= np.linalg.norm(xq[3:7])
+    Xq = jnp.zeros(15).at[jnp.arange(2, 15)].set(xq)
+    Uq = jnp.zeros(5).at[jnp.arange(4)].set(rng.standard_normal(4))
+    assert np.isclose(
+        float(quat.stage_cost(jnp.asarray(xq), Uq[:4])),
+        float(big.stage_cost(Xq, Uq)))

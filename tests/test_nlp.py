@@ -133,3 +133,35 @@ def test_solve_nlp_cross_checks_altro():
     al_cost = float(prob.obj.cost(sol.xs, sol.us))
     # both solvers land on the same optimum (loose: different algorithms)
     assert abs(info["cost"] - al_cost) / al_cost < 5e-3
+
+
+def test_implicit_midpoint_defects():
+    """Implicit-midpoint dynamics constraints with analytic endpoint
+    Jacobians (test/dynamics_constraints.jl:78-128)."""
+    import jax.numpy as jnp
+    from trajopt_tpu.dynamics import ImplicitMidpoint, discretize
+
+    prob = dubins_parallel_park(N=8)
+    prob.rollout()
+    nlp = TrajOptNLP(prob, defect="implicit_midpoint")
+    Z = nlp.initial_trajectory()
+    # residual is NOT zero for an rk4-consistent trajectory...
+    n, N = prob.n, prob.N
+    c = np.asarray(nlp.eval_c(Z))
+    assert np.abs(c[n : n * N]).max() > 1e-8
+    # ...but is zero for an implicit-midpoint-consistent rollout
+    im = discretize(prob.model.model, "implicit_midpoint")
+    xs = [prob.x0]
+    for k in range(N - 1):
+        xs.append(im.step(xs[-1], prob.us[k], prob.times[k], prob.dts[k]))
+    Z_im = nlp.pack(jnp.stack(xs), prob.us)
+    c_im = np.asarray(nlp.eval_c(Z_im))
+    assert np.abs(c_im[: n * N]).max() < 1e-10
+    # analytic structured Jacobian == AD of eval_c
+    D = nlp.jac_c_dense(Z)
+    D_ad = np.asarray(jax.jacfwd(nlp._eval_c_impl)(Z))
+    assert np.allclose(D, D_ad, atol=1e-10)
+    # direct solve with implicit-midpoint defects cross-checks ALTRO
+    xs_s, us_s, info = solve_nlp(dubins_parallel_park(N=21).rollout(),
+                                 max_iter=200, defect="implicit_midpoint")
+    assert info["success"] and info["max_violation"] < 1e-7

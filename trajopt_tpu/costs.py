@@ -34,6 +34,7 @@ __all__ = [
     "LQRCost",
     "QuatLQRCost",
     "CostExpansion",
+    "change_dimension",
 ]
 
 
@@ -541,3 +542,49 @@ def change_dimension(cost, n: int, m: int, ix=None, iu=None):
             c=cost.c, w=cost.w, q_ref=cost.q_ref, q_ind=q_ind,
         )
     raise TypeError(f"change_dimension: unsupported cost {type(cost)}")
+
+
+def change_dimension(cost, n: int, m: int, ix=None, iu=None):
+    """Embed a cost into a larger state/control space at indices ``ix``/``iu``
+    (the reference's ``change_dimension``: cost_functions.jl:391,
+    lie_costs.jl:144; used for augmented/multi-robot stacking).  New
+    dimensions carry zero weight.
+    """
+    ix = tuple(range(cost.n)) if ix is None else tuple(int(i) for i in ix)
+    iu = tuple(range(cost.m)) if iu is None else tuple(int(i) for i in iu)
+    if len(ix) != cost.n or len(iu) != cost.m:
+        raise ValueError("index sets must match the cost's current dims")
+    jx, ju = jnp.array(ix), jnp.array(iu)
+
+    if isinstance(cost, DiagonalCost):
+        return DiagonalCost(
+            Qd=jnp.zeros(n, cost.Qd.dtype).at[jx].set(cost.Qd),
+            Rd=jnp.zeros(m, cost.Rd.dtype).at[ju].set(cost.Rd) if m else cost.Rd[:0],
+            q=jnp.zeros(n, cost.q.dtype).at[jx].set(cost.q),
+            r=jnp.zeros(m, cost.r.dtype).at[ju].set(cost.r) if m else cost.r[:0],
+            c=cost.c,
+        )
+    if isinstance(cost, QuadraticCost):
+        Q = jnp.zeros((n, n), cost.Q.dtype).at[jnp.ix_(jx, jx)].set(cost.Q)
+        R = jnp.zeros((m, m), cost.R.dtype)
+        H = jnp.zeros((m, n), cost.H.dtype)
+        if m:
+            R = R.at[jnp.ix_(ju, ju)].set(cost.R)
+            H = H.at[jnp.ix_(ju, jx)].set(cost.H)
+        return QuadraticCost(
+            Q=Q, R=R, H=H,
+            q=jnp.zeros(n, cost.q.dtype).at[jx].set(cost.q),
+            r=jnp.zeros(m, cost.r.dtype).at[ju].set(cost.r) if m else cost.r[:0],
+            c=cost.c,
+        )
+    if isinstance(cost, DiagonalQuatCost):
+        # remap the quaternion indices through ix (lie_costs.jl:144-156)
+        q_ind = tuple(ix[i] for i in cost.q_ind)
+        return DiagonalQuatCost(
+            Qd=jnp.zeros(n, cost.Qd.dtype).at[jx].set(cost.Qd),
+            Rd=jnp.zeros(m, cost.Rd.dtype).at[ju].set(cost.Rd) if m else cost.Rd[:0],
+            q=jnp.zeros(n, cost.q.dtype).at[jx].set(cost.q),
+            r=jnp.zeros(m, cost.r.dtype).at[ju].set(cost.r) if m else cost.r[:0],
+            c=cost.c, w=cost.w, q_ref=cost.q_ref, q_ind=q_ind,
+        )
+    raise TypeError(f"change_dimension: unsupported cost type {type(cost).__name__}")

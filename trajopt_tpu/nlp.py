@@ -123,11 +123,24 @@ class TrajOptNLP:
     (``primal_bounds!``, abstract_constraint.jl:107-139).
     """
 
-    def __init__(self, prob: Problem, remove_bounds: bool = False):
+    def __init__(self, prob: Problem, remove_bounds: bool = False,
+                 defect: str = "explicit"):
+        """``defect`` selects the dynamics-constraint form:
+
+        * ``"explicit"`` — f(x_k, u_k) - x_{k+1} = 0 through the problem's
+          integrator (test/dynamics_constraints.jl:40-77).
+        * ``"implicit_midpoint"`` — the residual
+          x_k + dt f((x_k + x_{k+1})/2, u_k) - x_{k+1} = 0 with analytic
+          Jacobians wrt (x_k, u_k) and x_{k+1}
+          (test/dynamics_constraints.jl:78-128).
+        """
+        if defect not in ("explicit", "implicit_midpoint"):
+            raise ValueError(f"unknown defect form {defect!r}")
         self.prob = prob
         self.n, self.m, self.N = prob.n, prob.m, prob.N
         self.data = TrajData(self.n, self.m, self.N)
         self.remove_bounds = remove_bounds
+        self.defect = defect
 
         self._blocks: List[_Block] = []
         td = self.data
@@ -243,6 +256,15 @@ class TrajOptNLP:
     def _defects(self, xs, us):
         model = self.prob.model
         times, dts = self.prob.times, self.prob.dts
+        if self.defect == "implicit_midpoint":
+            from .dynamics import implicit_midpoint_residual
+
+            base = model.model if hasattr(model, "model") else model
+            res = jax.vmap(
+                lambda x1, u1, x2, t, dt: implicit_midpoint_residual(
+                    base, x1, u1, x2, t, dt)
+            )
+            return res(xs[:-1], us[:-1], xs[1:], times[:-1], dts[:-1])
         step = jax.vmap(model.step)
         xn = step(xs[:-1], us[:-1], times[:-1], dts[:-1])
         return xn - xs[1:]
@@ -305,11 +327,29 @@ class TrajOptNLP:
         model = self.prob.model
         times, dts = self.prob.times, self.prob.dts
         parts = [jnp.eye(self.n, dtype=Z.dtype).reshape(-1)]  # x0 block
-        A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
-        negI = -jnp.eye(self.n, dtype=Z.dtype)
-        dyn = jnp.concatenate(
-            [A, B, jnp.broadcast_to(negI, (self.N - 1, self.n, self.n))], axis=2
-        )
+        eye = jnp.eye(self.n, dtype=Z.dtype)
+        if self.defect == "implicit_midpoint":
+            # analytic residual Jacobians wrt both endpoints
+            # (dynamics_constraints.jl:94-119): r = x1 + dt f(xm, u1) - x2
+            base = model.model if hasattr(model, "model") else model
+
+            def imp_jac(x1, u1, x2, t, dt):
+                xm = 0.5 * (x1 + x2)
+                Jx, Ju = base.dynamics_jacobian(xm, u1, t + 0.5 * dt)
+                A1 = eye + 0.5 * dt * Jx
+                B1 = dt * Ju
+                A2 = 0.5 * dt * Jx - eye
+                return jnp.concatenate([A1, B1, A2], axis=1)
+
+            dyn = jax.vmap(imp_jac)(xs[:-1], us[:-1], xs[1:], times[:-1],
+                                    dts[:-1])
+        else:
+            A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1],
+                                            dts[:-1])
+            dyn = jnp.concatenate(
+                [A, B, jnp.broadcast_to(-eye, (self.N - 1, self.n, self.n))],
+                axis=2,
+            )
         parts.append(dyn.reshape(-1))
         for ci, (con, inds) in enumerate(self.prob.constraints.blocks()):
             if self.remove_bounds and con.is_bound:
@@ -381,7 +421,7 @@ class TrajOptNLP:
 
 
 def solve_nlp(prob: Problem, Z0=None, max_iter: int = 500, tol: float = 1e-10,
-              verbose: bool = False):
+              verbose: bool = False, defect: str = "explicit"):
     """Direct solve via SLSQP over the flattened NLP — the stand-in for the
     reference's removed MOI/Ipopt path (test/moi_test.jl), used to
     cross-check the AL-iLQR solver on CPU/f64.
@@ -393,7 +433,7 @@ def solve_nlp(prob: Problem, Z0=None, max_iter: int = 500, tol: float = 1e-10,
     """
     from scipy.optimize import minimize
 
-    nlp = TrajOptNLP(prob, remove_bounds=True)
+    nlp = TrajOptNLP(prob, remove_bounds=True, defect=defect)
     if Z0 is None:
         Z0 = nlp.initial_trajectory()
     Z0 = np.asarray(jax.device_get(Z0), dtype=np.float64)
@@ -455,7 +495,7 @@ def solve_nlp(prob: Problem, Z0=None, max_iter: int = 500, tol: float = 1e-10,
     )
     Z = jnp.asarray(res.x)
     xs, us = nlp.unpack(Z)
-    full = TrajOptNLP(prob, remove_bounds=False)
+    full = TrajOptNLP(prob, remove_bounds=False, defect=defect)
     info = {
         "success": bool(res.success),
         "iterations": int(res.get("nit", -1)),

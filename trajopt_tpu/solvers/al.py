@@ -277,6 +277,8 @@ def al_solve(
     O = int(opts.iterations_outer)
 
     def _empty_stats():
+        if not opts.record_stats:
+            return None
         return SolveStats(
             cost=jnp.zeros((O,), dtype), violation=jnp.zeros((O,), dtype),
             gradient=jnp.zeros((O,), dtype),
@@ -289,12 +291,14 @@ def al_solve(
         res = ilqr_solve(model, obj.cost, obj.expansion, x0, xs0, us_init,
                          times, dts, opts)
         stats0 = _empty_stats()
-        stats0 = stats0.replace(
-            cost=stats0.cost.at[0].set(res.J),
-            gradient=stats0.gradient.at[0].set(res.gradient),
-            inner_iterations=stats0.inner_iterations.at[0].set(res.iterations),
-            count=jnp.ones((), jnp.int32),
-        )
+        if stats0 is not None:
+            stats0 = stats0.replace(
+                cost=stats0.cost.at[0].set(res.J),
+                gradient=stats0.gradient.at[0].set(res.gradient),
+                inner_iterations=stats0.inner_iterations.at[0].set(
+                    res.iterations),
+                count=jnp.ones((), jnp.int32),
+            )
         return ALSolution(
             xs=res.xs, us=res.us, J=res.J, max_violation=jnp.zeros((), dtype),
             iterations=res.iterations, outer_iterations=jnp.zeros((), jnp.int32),
@@ -344,16 +348,20 @@ def al_solve(
             update_penalties(s.mus, opts), s.mus,
         )
         J_true = obj.cost(res.xs, res.us)
-        mu_max = jnp.max(jnp.stack([jnp.max(mu) for mu in mus_n]))
-        i = jnp.minimum(s.outer, O - 1)
-        stats_n = s.stats.replace(
-            cost=s.stats.cost.at[i].set(J_true),
-            violation=s.stats.violation.at[i].set(viol),
-            gradient=s.stats.gradient.at[i].set(res.gradient),
-            inner_iterations=s.stats.inner_iterations.at[i].set(res.iterations),
-            penalty_max=s.stats.penalty_max.at[i].set(mu_max),
-            count=s.outer + 1,
-        )
+        if opts.record_stats:
+            mu_max = jnp.max(jnp.stack([jnp.max(mu) for mu in mus_n]))
+            i = jnp.minimum(s.outer, O - 1)
+            stats_n = s.stats.replace(
+                cost=s.stats.cost.at[i].set(J_true),
+                violation=s.stats.violation.at[i].set(viol),
+                gradient=s.stats.gradient.at[i].set(res.gradient),
+                inner_iterations=s.stats.inner_iterations.at[i].set(
+                    res.iterations),
+                penalty_max=s.stats.penalty_max.at[i].set(mu_max),
+                count=s.outer + 1,
+            )
+        else:
+            stats_n = None
         return Carry(
             xs=res.xs, us=res.us, lams=lams_n, mus=mus_n, J=J_true, viol=viol,
             grad=res.gradient, inner_iters=s.inner_iters + res.iterations,

@@ -78,6 +78,13 @@ class SolverOptions:
     max_cost_value: float = 1e12
     max_state_value: float = 1e12
 
+    # -- stats recording --------------------------------------------------------
+    # Record the per-outer-iteration SolveStats history in the solution.
+    # Disable when the solution pytree is carried through a jitted loop whose
+    # other producers return stats=None (structure stability avoids retraces)
+    # or to shave the (O,)-array carry in huge batches.
+    record_stats: bool = True
+
     # -- final polish ---------------------------------------------------------
     # Run one more inner solve at the tight tolerance with converged duals
     # after the AL loop (Altro behavior).  Disable for fixed-budget MPC
