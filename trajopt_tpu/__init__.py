@@ -43,7 +43,6 @@ from .dynamics import (
     discretize,
     implicit_midpoint_residual,
     linearize,
-    rollout,
 )
 from .constraints import (
     BoundConstraint,
@@ -62,6 +61,28 @@ from .constraints import (
 )
 from .constraint_list import ConstraintList, num_constraints
 from .problem import Problem
+from .trajectories import KnotPoint, SampledTrajectory, Traj
+from .api import (
+    add_constraint,
+    control_dim,
+    controls,
+    cost,
+    get_constraints,
+    get_model,
+    get_objective,
+    get_trajectory,
+    gettimes,
+    horizonlength,
+    initial_controls,
+    initial_states,
+    initial_trajectory,
+    max_violation,
+    rollout,
+    set_goal_state,
+    set_initial_state,
+    state_dim,
+    states,
+)
 from .nlp import TrajOptNLP, TrajData, JacobianStructure, solve_nlp
 from .hybrid import HybridModel, HybridProblem, pad_costs, pad_constraints
 from .dynamics import dims
