@@ -45,9 +45,12 @@ from .problem import Problem
 __all__ = ["TrajData", "TrajOptNLP", "JacobianStructure", "solve_nlp"]
 
 
-def num_vars(n: int, m: int, N: int) -> int:
-    """Total primal variables (RobotDynamics.num_vars; nlp_tests.jl:13-14)."""
-    return N * n + (N - 1) * m
+def num_vars(n: int, m: int, N: int, uN: bool = False) -> int:
+    """Total primal variables (RobotDynamics.num_vars; nlp_tests.jl:13-14).
+
+    ``uN=True`` keeps a control at the terminal knot — the layout direct
+    collocation uses (first-order-hold controls; docs/old/solvers.md DIRCOL)."""
+    return N * n + (N - 1 + uN) * m
 
 
 @dataclass(frozen=True)
@@ -58,24 +61,25 @@ class TrajData:
     n: int
     m: int
     N: int
+    uN: bool = False  # terminal knot carries a control variable (DIRCOL)
 
     @property
     def NN(self) -> int:
-        return num_vars(self.n, self.m, self.N)
+        return num_vars(self.n, self.m, self.N, self.uN)
 
     def xinds(self, k: int) -> np.ndarray:
         off = k * (self.n + self.m)
         return np.arange(off, off + self.n)
 
     def uinds(self, k: int) -> np.ndarray:
-        if k >= self.N - 1:
+        if k >= self.N - 1 + self.uN:
             raise IndexError("terminal knot has no control variables")
         off = k * (self.n + self.m) + self.n
         return np.arange(off, off + self.m)
 
     def zinds(self, k: int) -> np.ndarray:
-        """Indices of [x_k; u_k] (x only at the terminal knot)."""
-        if k == self.N - 1:
+        """Indices of [x_k; u_k] (x only at the terminal knot unless uN)."""
+        if k == self.N - 1 and not self.uN:
             return self.xinds(k)
         return np.arange(k * (self.n + self.m), (k + 1) * (self.n + self.m))
 
@@ -133,12 +137,19 @@ class TrajOptNLP:
           x_k + dt f((x_k + x_{k+1})/2, u_k) - x_{k+1} = 0 with analytic
           Jacobians wrt (x_k, u_k) and x_{k+1}
           (test/dynamics_constraints.jl:78-128).
+        * ``"hermite_simpson"`` — compressed 3rd-order collocation defect
+          x_k + dt/6 (f_k + 4 f_m + f_{k+1}) - x_{k+1} = 0 with the
+          collocation state x_m = (x_k + x_{k+1})/2 + dt/8 (f_k - f_{k+1})
+          and first-order-hold control u_m = (u_k + u_{k+1})/2 — the DIRCOL
+          transcription (docs/old/solvers.md "Direct Collocation").  This
+          layout adds a control variable at the terminal knot (``uN``).
         """
-        if defect not in ("explicit", "implicit_midpoint"):
+        if defect not in ("explicit", "implicit_midpoint", "hermite_simpson"):
             raise ValueError(f"unknown defect form {defect!r}")
         self.prob = prob
         self.n, self.m, self.N = prob.n, prob.m, prob.N
-        self.data = TrajData(self.n, self.m, self.N)
+        self.data = TrajData(self.n, self.m, self.N,
+                             uN=(defect == "hermite_simpson"))
         self.remove_bounds = remove_bounds
         self.defect = defect
 
@@ -146,10 +157,14 @@ class TrajOptNLP:
         td = self.data
         # 1) initial-state equality x_0 = x0.
         self._blocks.append(_Block("x0", 0, self.n, td.xinds(0), Cone.ZERO))
-        # 2) dynamics defects f(x_k, u_k) - x_{k+1} = 0, k = 0..N-2.
+        # 2) dynamics defects f(x_k, u_k) - x_{k+1} = 0, k = 0..N-2
+        #    (hermite_simpson additionally couples u_{k+1}).
         for k in range(self.N - 1):
-            cols = np.concatenate([td.xinds(k), td.uinds(k), td.xinds(k + 1)])
-            self._blocks.append(_Block("dyn", k, self.n, cols, Cone.ZERO))
+            cols = [td.xinds(k), td.uinds(k), td.xinds(k + 1)]
+            if td.uN:
+                cols.append(td.uinds(k + 1))
+            self._blocks.append(
+                _Block("dyn", k, self.n, np.concatenate(cols), Cone.ZERO))
         # 3) stage constraints in list order x knot order.
         for ci, (con, inds) in enumerate(prob.constraints.blocks()):
             if remove_bounds and con.is_bound:
@@ -185,13 +200,21 @@ class TrajOptNLP:
         xs = jnp.asarray(xs)
         us = jnp.asarray(us)
         n, m, N = self.n, self.m, self.N
+        if us.shape[0] == N - 1:
+            us = jnp.concatenate([us, jnp.zeros((1, m), us.dtype)])
+        if self.data.uN:
+            return jnp.concatenate([xs, us], axis=1).reshape(-1)
         body = jnp.concatenate([xs[: N - 1], us[: N - 1]], axis=1).reshape(-1)
         return jnp.concatenate([body, xs[N - 1]])
 
     def unpack(self, Z) -> Tuple[jax.Array, jax.Array]:
-        """Z -> ((N, n) states, (N, m) controls, terminal row zero)."""
+        """Z -> ((N, n) states, (N, m) controls; terminal row zero unless the
+        layout carries a terminal control)."""
         Z = jnp.asarray(Z)
         n, m, N = self.n, self.m, self.N
+        if self.data.uN:
+            body = Z.reshape(N, n + m)
+            return body[:, :n], body[:, n:]
         body = Z[: (N - 1) * (n + m)].reshape(N - 1, n + m)
         xs = jnp.concatenate([body[:, :n], Z[-n:][None]], axis=0)
         us = jnp.concatenate([body[:, n:], jnp.zeros((1, m), Z.dtype)], axis=0)
@@ -217,6 +240,10 @@ class TrajOptNLP:
         # nlp_tests.jl:99) rather than whole-vector AD: one vmapped kernel.
         xs, us = self.unpack(Z)
         e = self.prob.obj.expansion(xs, us)
+        if self.data.uN:
+            # terminal-control layout: the cost drops terminal u-terms, so
+            # its gradient row is zero (e.u[-1] is already zeroed).
+            return jnp.concatenate([e.x, e.u], axis=1).reshape(-1)
         body = jnp.concatenate([e.x[:-1], e.u[:-1]], axis=1).reshape(-1)
         return jnp.concatenate([body, e.x[-1]])
 
@@ -253,6 +280,17 @@ class TrajOptNLP:
         return jax.hessian(lambda z: self.eval_f(z) + lam @ self._eval_c_impl(z))(Z)
 
     # -- constraint oracles -----------------------------------------------------
+    @staticmethod
+    def _hs_residual(base, x1, u1, x2, u2, t, dt):
+        """Compressed Hermite-Simpson defect (docs/old/solvers.md DIRCOL):
+        x1 + dt/6 (f1 + 4 fm + f2) - x2 with collocation state
+        xm = (x1 + x2)/2 + dt/8 (f1 - f2), um = (u1 + u2)/2."""
+        f1 = base.dynamics(x1, u1, t)
+        f2 = base.dynamics(x2, u2, t + dt)
+        xm = 0.5 * (x1 + x2) + (dt / 8.0) * (f1 - f2)
+        fm = base.dynamics(xm, 0.5 * (u1 + u2), t + 0.5 * dt)
+        return x1 + (dt / 6.0) * (f1 + 4.0 * fm + f2) - x2
+
     def _defects(self, xs, us):
         model = self.prob.model
         times, dts = self.prob.times, self.prob.dts
@@ -265,6 +303,13 @@ class TrajOptNLP:
                     base, x1, u1, x2, t, dt)
             )
             return res(xs[:-1], us[:-1], xs[1:], times[:-1], dts[:-1])
+        if self.defect == "hermite_simpson":
+            base = model.model if hasattr(model, "model") else model
+            res = jax.vmap(
+                lambda x1, u1, x2, u2, t, dt: self._hs_residual(
+                    base, x1, u1, x2, u2, t, dt)
+            )
+            return res(xs[:-1], us[:-1], xs[1:], us[1:], times[:-1], dts[:-1])
         step = jax.vmap(model.step)
         xn = step(xs[:-1], us[:-1], times[:-1], dts[:-1])
         return xn - xs[1:]
@@ -343,6 +388,18 @@ class TrajOptNLP:
 
             dyn = jax.vmap(imp_jac)(xs[:-1], us[:-1], xs[1:], times[:-1],
                                     dts[:-1])
+        elif self.defect == "hermite_simpson":
+            base = model.model if hasattr(model, "model") else model
+
+            def hs_jac(x1, u1, x2, u2, t, dt):
+                Js = jax.jacfwd(
+                    lambda a, b, c, d: self._hs_residual(base, a, b, c, d,
+                                                         t, dt),
+                    argnums=(0, 1, 2, 3))(x1, u1, x2, u2)
+                return jnp.concatenate(Js, axis=1)
+
+            dyn = jax.vmap(hs_jac)(xs[:-1], us[:-1], xs[1:], us[1:],
+                                   times[:-1], dts[:-1])
         else:
             A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1],
                                             dts[:-1])

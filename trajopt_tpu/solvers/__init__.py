@@ -3,8 +3,11 @@ from .options import SolverOptions
 from .ilqr import ILQRResult, ilqr_solve
 from .al import ALSolution, ConstraintBlock, SolveStats, al_solve, make_al_functions
 from .altro import ALTROSolver, iLQRSolver, solve, solve_problem
+from .dircol import DIRCOLOptions, DIRCOLSolver
 
 __all__ = [
+    "DIRCOLOptions",
+    "DIRCOLSolver",
     "SolverOptions",
     "ILQRResult",
     "ilqr_solve",
