@@ -135,9 +135,10 @@ def main():
 
     schedule = tuple(int(x) for x in
                      os.environ.get("BENCH_SCHEDULE", "1").split(","))
-    controller = mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts_mpc,
-                                         batched=True, schedule=schedule,
-                                         relin_every=2)
+    controller = mpc.make_mpc_controller(
+        dm, obj, blocks, times, dts, opts_mpc, batched=True,
+        schedule=schedule,
+        relin_every=int(os.environ.get("BENCH_RELIN", 2)))
 
     x0_reset = x0s
     us_reset = us0
