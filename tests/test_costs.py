@@ -161,3 +161,115 @@ def test_cost_change_dimension():
     assert np.isclose(
         float(quat.stage_cost(jnp.asarray(xq), Uq[:4])),
         float(big.stage_cost(Xq, Uq)))
+
+
+def test_diagonal_lie_cost_ctor_paths(rng):
+    """Constructor semantics from the legacy quatcosts.jl:17-48."""
+    from trajopt_tpu.costs import DiagonalLieCost
+
+    # LieState(QuatRotation, 3, 6): pos(3), quat(4), vel+omega(6) -> n=13.
+    quat_inds = ((3, 4, 5, 6),)
+    Qs = [rng.random(3), rng.random(6)]
+    Qcat = np.concatenate(Qs)
+    R = rng.random(4)
+    # Vector-parts Q with explicit n: w defaults to 1 (quatcosts.jl:20-23).
+    dcost = DiagonalLieCost.create(Qcat, R, quat_inds=quat_inds, n=13)
+    assert np.allclose(np.asarray(dcost.w), [1.0])
+    assert np.allclose(np.asarray(dcost.Qv), Qcat)
+    assert dcost.n == 13 and dcost.m == 4
+    assert dcost.vec_inds == (0, 1, 2, 7, 8, 9, 10, 11, 12)
+
+    # Full-state Q/q: quat entries dropped, w = sum of dropped diagonal
+    # (quatcosts.jl:38-45).
+    Qfull = rng.random(13)
+    qfull = rng.random(13)
+    dcost = DiagonalLieCost.create(Qfull, R, q=qfull, quat_inds=quat_inds)
+    vec = np.r_[0:3, 7:13]
+    assert np.allclose(np.asarray(dcost.Qv), Qfull[vec])
+    assert np.allclose(np.asarray(dcost.qv), qfull[vec])
+    assert np.isclose(float(dcost.w[0]), Qfull[3:7].sum())
+
+    # Explicit w overrides the sum default (quatcosts.jl:47-48).
+    dcost = DiagonalLieCost.create(Qfull, R, q=qfull, w=[6.0],
+                                   quat_inds=quat_inds)
+    assert float(dcost.w[0]) == 6.0
+
+    with pytest.raises(ValueError):
+        DiagonalLieCost.create(rng.random(5), R, quat_inds=quat_inds, n=13)
+    with pytest.raises(ValueError):
+        DiagonalLieCost.create(Qfull, R, quat_inds=((3, 4, 5, 6),
+                                                    (5, 6, 7, 8)))
+
+
+def test_diagonal_lie_cost_stage_cost_and_gradient(rng):
+    """Stage cost vs the hand-written formula (quatcosts.jl:66-80) and
+    sign-aware gradient vs AD on both geodesic branches."""
+    from trajopt_tpu.costs import DiagonalLieCost
+
+    n, m = 13, 4
+    quat_inds = ((3, 4, 5, 6),)
+    Q = rng.random(n - 4)
+    R = rng.random(m)
+    q = rng.random(n - 4)
+    r = rng.random(m)
+    c = float(rng.random())
+    w = rng.random(1)
+    qref = rng.standard_normal(4)
+    qref /= np.linalg.norm(qref)
+    cost = DiagonalLieCost.create(Q, R, q=q, r=r, c=c, w=w, q_refs=qref,
+                                  quat_inds=quat_inds, n=n)
+
+    x = rng.standard_normal(n)
+    x[3:7] /= np.linalg.norm(x[3:7])
+    u = rng.standard_normal(m)
+    vec = np.r_[0:3, 7:13]
+    xv = x[vec]
+    dq = float(qref @ x[3:7])
+    Jv = 0.5 * xv @ (Q * xv) + q @ xv + c
+    Jr = float(w[0]) * min(1 - dq, 1 + dq)
+    Ju = 0.5 * u @ (R * u) + r @ u
+    assert np.isclose(float(cost.term_cost(jnp.asarray(x))), Jv + Jr)
+    assert np.isclose(float(cost.stage_cost(jnp.asarray(x), jnp.asarray(u))),
+                      Jv + Jr + Ju)
+
+    # Gradient vs AD, both signs of q'qref (lie_costs.jl:84-89 behavior).
+    for flip in (1.0, -1.0):
+        xs = x.copy()
+        xs[3:7] *= flip
+        g = np.asarray(cost._grad_x(jnp.asarray(xs)))
+        g_ad = np.asarray(jax.grad(cost.term_cost)(jnp.asarray(xs)))
+        assert np.allclose(g, g_ad, atol=1e-10)
+    e = cost.expansion(jnp.asarray(x), jnp.asarray(u))
+    assert np.allclose(np.asarray(e.uu), np.diag(R))
+    hd = np.diag(np.asarray(e.xx))
+    assert np.allclose(hd[vec], Q) and np.allclose(hd[3:7], 0.0)
+
+
+def test_diagonal_lie_cost_multi_rotation(rng):
+    """Two rotation blocks (LieState with num_rotations=2) sum their
+    geodesic terms independently."""
+    from trajopt_tpu.costs import DiagonalLieCost
+
+    n = 17
+    quat_inds = ((3, 4, 5, 6), (10, 11, 12, 13))
+    Q = rng.random(n)
+    R = rng.random(2)
+    qrefs = rng.standard_normal((2, 4))
+    qrefs /= np.linalg.norm(qrefs, axis=1, keepdims=True)
+    cost = DiagonalLieCost.create(Q, R, q_refs=qrefs, quat_inds=quat_inds)
+    assert np.isclose(float(cost.w[0]), Q[3:7].sum())
+    assert np.isclose(float(cost.w[1]), Q[10:14].sum())
+
+    x = rng.standard_normal(n)
+    for b in quat_inds:
+        x[list(b)] /= np.linalg.norm(x[list(b)])
+    geo = sum(float(cost.w[i]) * min(1 - d, 1 + d)
+              for i, d in enumerate(
+                  float(qrefs[i] @ x[list(b)])
+                  for i, b in enumerate(quat_inds)))
+    vec = [i for i in range(n) if i not in {3, 4, 5, 6, 10, 11, 12, 13}]
+    Jv = 0.5 * x[vec] @ (Q[vec] * x[vec])
+    assert np.isclose(float(cost.term_cost(jnp.asarray(x))), Jv + geo)
+    g = np.asarray(cost._grad_x(jnp.asarray(x)))
+    g_ad = np.asarray(jax.grad(cost.term_cost)(jnp.asarray(x)))
+    assert np.allclose(g, g_ad, atol=1e-10)

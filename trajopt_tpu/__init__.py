@@ -25,6 +25,7 @@ from .cones import (
 from .costs import (
     CostExpansion,
     DiagonalCost,
+    DiagonalLieCost,
     DiagonalQuatCost,
     ErrorQuadratic,
     GenericCost,

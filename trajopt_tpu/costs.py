@@ -29,6 +29,7 @@ __all__ = [
     "DiagonalCost",
     "QuadraticCost",
     "DiagonalQuatCost",
+    "DiagonalLieCost",
     "ErrorQuadratic",
     "GenericCost",
     "LQRCost",
@@ -311,6 +312,153 @@ class DiagonalQuatCost:
             Qd=self.Qd + other.Qd, Rd=self.Rd + other.Rd,
             q=self.q + other.q, r=self.r + other.r, c=self.c + other.c,
             w=self.w + ow, q_ref=self.q_ref, q_ind=self.q_ind,
+        )
+
+
+@struct.dataclass
+class DiagonalLieCost:
+    """Diagonal cost over the vector-space state parts plus a geodesic term
+    per rotation block (the legacy ``DiagonalLieCost`` behavior the reference
+    documents in test/quatcosts.jl:17-93; removed from its v0.7.1 src).
+
+    J(x, u) = 1/2 xv'diag(Qv) xv + qv'xv + c + 1/2 u'diag(Rd) u + r'u
+              + sum_i w[i] * min(1 - q_i'qref_i, 1 + q_i'qref_i)
+
+    where ``xv`` are the non-quaternion state entries (positions, velocities,
+    rates) and ``q_i = x[quat_inds[i]]`` the i-th unit quaternion.  Generalizes
+    ``DiagonalQuatCost`` to any number of rotation blocks (the reference's
+    ``LieState(QuatRotation, 3, 6)`` layouts, quatcosts.jl:18-27).  Index sets
+    are static (trace-time), mirroring the reference's type-level LieState.
+    """
+
+    Qv: jax.Array  # (nv,) diagonal over vector entries
+    Rd: jax.Array  # (m,)
+    qv: jax.Array  # (nv,) linear term over vector entries
+    r: jax.Array  # (m,)
+    c: jax.Array  # scalar
+    w: jax.Array  # (k,) geodesic weights
+    q_refs: jax.Array  # (k, 4) reference quaternions
+    quat_inds: Tuple[Tuple[int, int, int, int], ...] = struct.field(pytree_node=False)
+    vec_inds: Tuple[int, ...] = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, Q, R, q=None, r=None, c=0.0, w=None, q_refs=None,
+               quat_inds=((3, 4, 5, 6),), n=None, dtype=None):
+        """``Q``/``q`` may be full-state (n,) — quaternion entries are then
+        dropped from the quadratic part, and ``w`` defaults to the sum of the
+        dropped diagonal entries per rotation (quatcosts.jl:38-45) — or
+        already restricted to the vector parts (n - 4k,), in which case ``w``
+        defaults to 1 per rotation (quatcosts.jl:20-22).  The two forms are
+        told apart by ``len(Q)`` vs the full state dimension ``n``; ``n``
+        defaults to ``len(Q)`` (full-state form) the way the reference reads
+        it off the LieState, so pass ``n`` explicitly with vector-parts Q."""
+        quat_inds = tuple(tuple(int(i) for i in b) for b in quat_inds)
+        for b in quat_inds:
+            if len(b) != 4:
+                raise ValueError(f"quaternion block {b} must have 4 indices")
+        k = len(quat_inds)
+        Q = jnp.asarray(Q, dtype=dtype)
+        if Q.ndim == 2:
+            Q = jnp.diag(Q)
+        R = jnp.asarray(R, Q.dtype)
+        if R.ndim == 2:
+            R = jnp.diag(R)
+        m = R.shape[0]
+        quat_flat = [i for b in quat_inds for i in b]
+        if len(set(quat_flat)) != 4 * k:
+            raise ValueError("quaternion blocks overlap")
+        n = int(n) if n is not None else Q.shape[0]
+        if max(quat_flat) >= n:
+            raise ValueError(f"quaternion index {max(quat_flat)} >= n={n}")
+        vec_inds = tuple(i for i in range(n) if i not in set(quat_flat))
+        if Q.shape[0] == n:  # full-state form
+            Qv = Q[jnp.array(vec_inds)]
+            default_w = jnp.stack([jnp.sum(Q[jnp.array(b)]) for b in quat_inds])
+        elif Q.shape[0] == len(vec_inds):  # vector-parts form
+            Qv = Q
+            default_w = jnp.ones((k,), Q.dtype)
+        else:
+            raise ValueError(
+                f"Q has {Q.shape[0]} entries; expected n={n} (full state) "
+                f"or {len(vec_inds)} (vector parts)")
+        if q is None:
+            qv = jnp.zeros((len(vec_inds),), Q.dtype)
+        else:
+            q = jnp.asarray(q, Q.dtype)
+            qv = q[jnp.array(vec_inds)] if q.shape[0] == n else q
+        r = jnp.zeros((m,), Q.dtype) if r is None else jnp.asarray(r, Q.dtype)
+        w = default_w if w is None else jnp.atleast_1d(jnp.asarray(w, Q.dtype))
+        if q_refs is None:
+            q_refs = jnp.tile(jnp.array([1.0, 0, 0, 0], Q.dtype), (k, 1))
+        else:
+            q_refs = jnp.asarray(q_refs, Q.dtype).reshape(k, 4)
+        _warn_not_psd("Q", Qv)
+        _warn_not_psd("R", R)
+        return cls(Qv=Qv, Rd=R, qv=qv, r=r, c=jnp.asarray(c, Q.dtype),
+                   w=w, q_refs=q_refs, quat_inds=quat_inds, vec_inds=vec_inds)
+
+    @property
+    def n(self) -> int:
+        return len(self.vec_inds) + 4 * len(self.quat_inds)
+
+    @property
+    def m(self) -> int:
+        return self.r.shape[-1]
+
+    def _geodesic(self, x):
+        total = jnp.zeros((), x.dtype)
+        for i, b in enumerate(self.quat_inds):
+            dq = self.q_refs[i] @ x[jnp.array(b)]
+            total = total + self.w[i] * jnp.minimum(1 + dq, 1 - dq)
+        return total
+
+    def _vec_cost(self, x):
+        xv = x[jnp.array(self.vec_inds)]
+        return 0.5 * jnp.sum(self.Qv * xv * xv) + self.qv @ xv + self.c
+
+    def stage_cost(self, x, u):
+        return (self._vec_cost(x) + self._geodesic(x)
+                + 0.5 * jnp.sum(self.Rd * u * u) + self.r @ u)
+
+    def term_cost(self, x):
+        return self._vec_cost(x) + self._geodesic(x)
+
+    def _grad_x(self, x):
+        xv = x[jnp.array(self.vec_inds)]
+        gx = jnp.zeros((self.n,), x.dtype)
+        gx = gx.at[jnp.array(self.vec_inds)].set(self.Qv * xv + self.qv)
+        # Sign-aware geodesic gradient per rotation (lie_costs.jl:84-89).
+        for i, b in enumerate(self.quat_inds):
+            dq = self.q_refs[i] @ x[jnp.array(b)]
+            sign = jnp.where(dq < 0, 1.0, -1.0).astype(x.dtype)
+            gx = gx.at[jnp.array(b)].set(sign * self.w[i] * self.q_refs[i])
+        return gx
+
+    def _hess_xx(self):
+        Qfull = jnp.zeros((self.n,), self.Qv.dtype)
+        Qfull = Qfull.at[jnp.array(self.vec_inds)].set(self.Qv)
+        return jnp.diag(Qfull)
+
+    def expansion(self, x, u) -> CostExpansion:
+        dt = self.Qv.dtype
+        return CostExpansion(
+            xx=self._hess_xx(),
+            uu=jnp.diag(self.Rd),
+            ux=jnp.zeros((self.m, self.n), dt),
+            x=self._grad_x(x),
+            u=self.Rd * u + self.r,
+            c=self.stage_cost(x, u),
+        )
+
+    def term_expansion(self, x) -> CostExpansion:
+        dt = self.Qv.dtype
+        return CostExpansion(
+            xx=self._hess_xx(),
+            uu=jnp.zeros((self.m, self.m), dt),
+            ux=jnp.zeros((self.m, self.n), dt),
+            x=self._grad_x(x),
+            u=jnp.zeros((self.m,), dt),
+            c=self.term_cost(x),
         )
 
 
