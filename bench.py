@@ -59,6 +59,12 @@ def build(B, N, tf, dtype, opts_kw):
     dts = jnp.full(N, tf / (N - 1), dtype).at[-1].set(0.0)
     opts = SolverOptions(**opts_kw)
     hover = 0.5 * model.mass * 9.81 / 4
+    # Host literals: solver factories CLOSE OVER this problem data, and
+    # closed-over device arrays permanently degrade dispatch latency on the
+    # axon tunnel (trajopt_tpu/utils/host.py).
+    from trajopt_tpu.utils.host import to_host
+    dm, obj, blocks, x0, times, dts = to_host(
+        (dm, obj, blocks, x0, times, dts))
     return dm, obj, blocks, x0, times, dts, opts, n, m, hover
 
 
@@ -140,8 +146,9 @@ def main():
         schedule=schedule,
         relin_every=int(os.environ.get("BENCH_RELIN", 2)))
 
-    x0_reset = x0s
-    us_reset = us0
+    # sim_next closes over the reset trajectories: host copies (see build).
+    x0_reset = np.asarray(x0s)
+    us_reset = np.asarray(us0)
 
     def sim_next(sol, key):
         # measured state: propagate one knot + small disturbance; diverged

@@ -134,12 +134,12 @@ class GoalConstraint(AbstractConstraint):
         return len(self.inds)
 
     def evaluate(self, x, u):
-        return x[jnp.array(self.inds)] - self.xf
+        return x[np.asarray(self.inds)] - self.xf
 
     def jacobian(self, x, u):  # analytic identity rows (constraints.jl:62-68)
         p = self.output_dim
         J = jnp.zeros((p, self.n + self.m), x.dtype)
-        return J.at[jnp.arange(p), jnp.array(self.inds)].set(1.0)
+        return J.at[jnp.arange(p), np.asarray(self.inds)].set(1.0)
 
     @property
     def is_bound(self) -> bool:
@@ -149,7 +149,7 @@ class GoalConstraint(AbstractConstraint):
         """MPC retarget (constraints.jl:79-87); returns a new constraint."""
         xf = jnp.asarray(xf)
         if xf.shape[-1] == self.n:
-            xf = xf[jnp.array(self.inds)]
+            xf = xf[np.asarray(self.inds)]
         return self.replace(xf=xf)
 
 
@@ -181,12 +181,12 @@ class LinearConstraint(AbstractConstraint):
         return self.b.shape[-1]
 
     def evaluate(self, x, u):
-        z = jnp.concatenate([x, u])[jnp.array(self.inds)]
+        z = jnp.concatenate([x, u])[np.asarray(self.inds)]
         return self.A @ z - self.b
 
     def jacobian(self, x, u):  # analytic (constraints.jl:141-144)
         J = jnp.zeros((self.output_dim, self.n + self.m), self.A.dtype)
-        return J.at[:, jnp.array(self.inds)].set(self.A)
+        return J.at[:, np.asarray(self.inds)].set(self.A)
 
 
 @struct.dataclass
@@ -297,14 +297,14 @@ class CollisionConstraint(AbstractConstraint):
         return 1
 
     def evaluate(self, x, u):
-        d = x[jnp.array(self.i1)] - x[jnp.array(self.i2)]
+        d = x[np.asarray(self.i1)] - x[np.asarray(self.i2)]
         return (self.radius ** 2 - d @ d)[None]
 
     def jacobian(self, x, u):  # analytic (constraints.jl:378-390)
-        d = x[jnp.array(self.i1)] - x[jnp.array(self.i2)]
+        d = x[np.asarray(self.i1)] - x[np.asarray(self.i2)]
         J = jnp.zeros((1, self.n + self.m), x.dtype)
-        J = J.at[0, jnp.array(self.i1)].set(-2 * d)
-        J = J.at[0, jnp.array(self.i2)].set(2 * d)
+        J = J.at[0, np.asarray(self.i1)].set(-2 * d)
+        J = J.at[0, np.asarray(self.i2)].set(2 * d)
         return J
 
 
@@ -350,7 +350,7 @@ class NormConstraint(AbstractConstraint):
         return "stage"
 
     def evaluate(self, x, u):
-        z = jnp.concatenate([x, u])[jnp.array(self.inds)]
+        z = jnp.concatenate([x, u])[np.asarray(self.inds)]
         if self.sense is Cone.SECOND_ORDER:
             return jnp.concatenate([z, self.val[None]])
         return (z @ z - self.val ** 2)[None]
@@ -360,9 +360,9 @@ class NormConstraint(AbstractConstraint):
         if self.sense is Cone.SECOND_ORDER:
             p = self.output_dim
             J = jnp.zeros((p, self.n + self.m), x.dtype)
-            return J.at[jnp.arange(p - 1), jnp.array(self.inds)].set(1.0)
+            return J.at[jnp.arange(p - 1), np.asarray(self.inds)].set(1.0)
         J = jnp.zeros((1, self.n + self.m), x.dtype)
-        return J.at[0, jnp.array(self.inds)].set(2 * z[jnp.array(self.inds)])
+        return J.at[0, np.asarray(self.inds)].set(2 * z[np.asarray(self.inds)])
 
 
 def _finite_inds(v) -> Tuple[int, ...]:
@@ -419,18 +419,18 @@ class BoundConstraint(AbstractConstraint):
 
     def evaluate(self, x, u):
         z = jnp.concatenate([x, u])
-        upper = z[jnp.array(self.i_max, dtype=int)] - self.z_max[jnp.array(self.i_max, dtype=int)]
-        lower = self.z_min[jnp.array(self.i_min, dtype=int)] - z[jnp.array(self.i_min, dtype=int)]
+        upper = z[np.asarray(self.i_max, dtype=int)] - self.z_max[np.asarray(self.i_max, dtype=int)]
+        lower = self.z_min[np.asarray(self.i_min, dtype=int)] - z[np.asarray(self.i_min, dtype=int)]
         return jnp.concatenate([upper, lower]) if self.output_dim else jnp.zeros((0,), z.dtype)
 
     def jacobian(self, x, u):  # analytic +-1 rows (constraints.jl:758-765)
         J = jnp.zeros((self.output_dim, self.n + self.m), x.dtype)
         nu = len(self.i_max)
         if nu:
-            J = J.at[jnp.arange(nu), jnp.array(self.i_max)].set(1.0)
+            J = J.at[jnp.arange(nu), np.asarray(self.i_max)].set(1.0)
         nl = len(self.i_min)
         if nl:
-            J = J.at[nu + jnp.arange(nl), jnp.array(self.i_min)].set(-1.0)
+            J = J.at[nu + jnp.arange(nl), np.asarray(self.i_min)].set(-1.0)
         return J
 
     @property
@@ -486,14 +486,14 @@ class IndexedConstraint(AbstractConstraint):
         return self.con.output_dim
 
     def evaluate(self, x, u):
-        return self.con.evaluate(x[jnp.array(self.ix)], u[jnp.array(self.iu)])
+        return self.con.evaluate(x[np.asarray(self.ix)], u[np.asarray(self.iu)])
 
     def jacobian(self, x, u):  # Jacobian scatter (constraints.jl:900-928)
-        J0 = self.con.jacobian(x[jnp.array(self.ix)], u[jnp.array(self.iu)])
+        J0 = self.con.jacobian(x[np.asarray(self.ix)], u[np.asarray(self.iu)])
         n0 = len(self.ix)
         J = jnp.zeros((self.output_dim, self.n + self.m), J0.dtype)
-        J = J.at[:, jnp.array(self.ix)].set(J0[:, :n0])
-        J = J.at[:, self.n + jnp.array(self.iu)].set(J0[:, n0:])
+        J = J.at[:, np.asarray(self.ix)].set(J0[:, :n0])
+        J = J.at[:, self.n + np.asarray(self.iu)].set(J0[:, n0:])
         return J
 
     @property

@@ -98,6 +98,11 @@ def make_mpc_controller(
     real-time-iteration solver (see :func:`mpc_step`).
     """
     blocks = tuple(blocks)
+    # Problem data becomes host literals: closed-over DEVICE arrays
+    # permanently degrade per-dispatch latency on tunneled backends
+    # (utils/host.py).
+    from .utils.host import to_host
+    model, obj, blocks, times, dts = to_host((model, obj, blocks, times, dts))
 
     def step(x, prev):
         return mpc_step(model, obj, blocks, x, prev, times, dts, opts,

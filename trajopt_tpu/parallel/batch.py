@@ -43,6 +43,11 @@ def make_batch_solver(
     otherwise the objective is shared.
     """
     blocks = tuple(blocks)
+    # Host literals for closure data (utils/host.py): closed-over device
+    # arrays degrade dispatch latency on tunneled backends.  The objective
+    # stays a jit ARGUMENT (it may be overridden per call).
+    from ..utils.host import to_host
+    model, blocks, times, dts = to_host((model, blocks, times, dts))
 
     def _solve_one(obj_, x0, us0):
         return al_solve(model, obj_, blocks, x0, us0, times, dts, opts)

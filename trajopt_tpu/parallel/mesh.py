@@ -69,6 +69,10 @@ def make_sharded_solver(
     and inserts the final psum only for the scalar stats reduction.
     """
     blocks = tuple(blocks)
+    # Host literals for closure data (utils/host.py): closed-over device
+    # arrays degrade dispatch latency on tunneled backends.
+    from ..utils.host import to_host
+    model, blocks, times, dts = to_host((model, blocks, times, dts))
     axis = mesh.axis_names[0]
     shard_b = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
