@@ -100,15 +100,17 @@ def main():
     mpc_opts = dict(cold_opts)
     # Real-time-iteration defaults (measured on v5e, B=2048, N=101):
     # one Gauss-Newton iteration + dual update per MPC step (schedule="1"),
-    # O(dt^2) approximate linearization, 2-alpha parallel line search —
-    # 26160 solves/s/chip at median viol 5.6e-7 (vs 6120 for the old
-    # "2,1,1"/exact/6-alpha budget), and the fleet CONTRACTS: 30 steps in,
-    # max viol is ~1e-10.  Knobs: BENCH_SCHEDULE / BENCH_JM / BENCH_LS.
+    # FIRST-ORDER approximate linearization (the O(dt^2) correction's
+    # batched tiny einsums cost ~30% of the step for no quality change),
+    # 2-alpha parallel line search — 33400 solves/s/chip at median viol
+    # 5.6e-7 (26160 with "approx", 6120 for the old "2,1,1"/exact/6-alpha
+    # budget), and the fleet CONTRACTS: 30 steps in, max viol is ~1e-10.
+    # Knobs: BENCH_SCHEDULE / BENCH_JM / BENCH_LS / BENCH_RELIN.
     mpc_opts.update(iterations=6, iterations_outer=2, iterations_inner=5,
                     iterations_linesearch=int(os.environ.get("BENCH_LS", 2)),
                     line_search_min_alpha=1e-4,
                     final_polish=False,
-                    jacobian_mode=os.environ.get("BENCH_JM", "approx"))
+                    jacobian_mode=os.environ.get("BENCH_JM", "approx1"))
 
     dm, obj, blocks, x0, times, dts, opts_cold, n, m, hover = build(
         B, N, tf, dtype, cold_opts)

@@ -1,0 +1,104 @@
+"""Standalone TPU benchmark: scan Riccati backward vs Pallas batch-minor.
+
+Isolates the Riccati recursion on synthetic (but SPD/sane) expansion data
+at the bench shape.  One sync per timing (CLAUDE.md "AXON SLOW MODE").
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(name, fn, *args, reps=20):
+    """Dependency-chained timing: rep i+1's input depends on rep i's
+    output, so reps serialize on device regardless of queueing; one sync
+    at the end (CLAUDE.md "AXON SLOW MODE")."""
+    out = jax.block_until_ready(fn(*args))
+    first = jax.tree_util.tree_leaves(out)[0]
+    eps = (first.ravel()[0] * 0).astype(args[0].dtype)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(args[0] + eps, *args[1:])
+        eps = (jax.tree_util.tree_leaves(out)[0].ravel()[0] * 0).astype(
+            args[0].dtype)
+    jax.block_until_ready(out)
+    log(f"{name:34s} {(time.time() - t0) / reps * 1e3:8.2f} ms")
+    return out
+
+
+def main():
+    from trajopt_tpu.ops.riccati_kernel import riccati_backward_batch_minor
+
+    Bt, T, n, m = (int(os.environ.get("RB_B", 2048)), 100, 13, 4)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    dt = jnp.float32
+    A = jnp.eye(n, dtype=dt)[None, None] + 0.05 * jax.random.normal(
+        ks[0], (Bt, T, n, n), dt)
+    B = 0.05 * jax.random.normal(ks[1], (Bt, T, n, m), dt)
+    W = jax.random.normal(ks[2], (Bt, T + 1, n, n), dt)
+    lxx = 0.01 * jnp.einsum("btij,btkj->btik", W, W) + jnp.eye(n, dtype=dt)
+    lu_w = jax.random.normal(ks[3], (Bt, T, m, m), dt)
+    luu = 0.01 * jnp.einsum("btij,btkj->btik", lu_w, lu_w) + jnp.eye(m, dtype=dt)
+    lux = 0.01 * jax.random.normal(ks[4], (Bt, T, m, n), dt)
+    lx = jax.random.normal(ks[5], (Bt, T + 1, n), dt)
+    lu = jax.random.normal(ks[6], (Bt, T, m), dt)
+    rho = jnp.full((Bt,), 1e-6, dt)
+
+    log(f"riccati bench: B={Bt} T={T} n={n} m={m} device={jax.devices()[0]}")
+
+    kernel = jax.jit(riccati_backward_batch_minor)
+    K1, d1, dV11, dV21, f1 = timeit("pallas batch-minor", kernel,
+                                    A, B, lxx, luu, lux, lx, lu, rho)
+
+    # scan reference: same recursion via vmapped lax.scan of tiny matmuls
+    def scan_one(A_, B_, lxx_, luu_, lux_, lx_, lu_, rho_):
+        def step(carry, inp):
+            Vx, Vxx = carry
+            a, b, qxx, quu, qux, qx, qu = inp
+            Qx = qx + a.T @ Vx
+            Qu = qu + b.T @ Vx
+            Qxx = qxx + a.T @ Vxx @ a
+            Quu = quu + b.T @ Vxx @ b + rho_ * jnp.eye(m, dtype=dt)
+            Qux = qux + b.T @ Vxx @ a
+            L = jnp.linalg.cholesky(Quu)
+            Kk = jax.scipy.linalg.cho_solve((L, True), Qux)
+            dk = jax.scipy.linalg.cho_solve((L, True), Qu)
+            Vx_n = Qx + Kk.T @ Quu @ dk - Kk.T @ Qu - Qux.T @ dk
+            Vxx_n = Qxx + Kk.T @ Quu @ Kk - Kk.T @ Qux - Qux.T @ Kk
+            dV1 = dk @ Qu
+            dV2 = 0.5 * dk @ Quu @ dk
+            return (Vx_n, 0.5 * (Vxx_n + Vxx_n.T)), (Kk, dk, dV1, dV2)
+
+        inputs = (A_[::-1], B_[::-1], lxx_[:-1][::-1], luu_[::-1],
+                  lux_[::-1], lx_[:-1][::-1], lu_[::-1])
+        (Vx, Vxx), (K_, d_, dV1_, dV2_) = jax.lax.scan(
+            step, (lx_[-1], lxx_[-1]), inputs, unroll=8)
+        return K_[::-1], d_[::-1], jnp.sum(dV1_), jnp.sum(dV2_)
+
+    scan_fn = jax.jit(jax.vmap(scan_one))
+    K2, d2, dV12, dV22 = timeit("vmapped scan (XLA)", scan_fn,
+                                A, B, lxx, luu, lux, lx, lu, rho)
+
+    err = float(jnp.max(jnp.abs(K1 - (-K2))))
+    err2 = float(jnp.max(jnp.abs(K1 - K2)))
+    log(f"gain agreement: max|K_pallas - K_scan| = {min(err, err2):.2e} "
+        f"(sign conv {'flipped' if err < err2 else 'same'})")
+
+
+if __name__ == "__main__":
+    main()

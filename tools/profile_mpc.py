@@ -24,14 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import build, log  # noqa: E402
 
 
-def timeit(name, fn, *args, reps=10):
+def timeit(name, fn, *args, reps=20):
     out = jax.block_until_ready(fn(*args))  # compile
-    # Pipelined timing (the bench's pattern): queue all reps, block once —
-    # amortizes the ~28 ms tunnel round-trip so device time dominates.
+    # Dependency-chained reps + ONE final sync: chaining forces device
+    # serialization (un-chained dispatches have been observed to complete
+    # implausibly fast); a single sync avoids the ~27 ms per-sync charge
+    # (CLAUDE.md "AXON SLOW MODE").
+    first = jax.tree_util.tree_leaves(out)[0]
+    eps = (jnp.ravel(first)[0] * 0).astype(jnp.asarray(args[0]).dtype)
     t0 = time.time()
-    outs = [fn(*args) for _ in range(reps)]
-    for o in outs:
-        jax.block_until_ready(o)
+    for _ in range(reps):
+        out = fn(jnp.asarray(args[0]) + eps, *args[1:])
+        eps = (jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0] * 0).astype(
+            jnp.asarray(args[0]).dtype)
+    jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
     log(f"{name:28s} {dt * 1e3:8.2f} ms")
     return out
@@ -91,6 +97,12 @@ def main():
 
     timeit("open-loop rollout", jax.jit(jax.vmap(f_rollout)), x0s, us)
     AB = timeit("linearize (approx)", jax.jit(jax.vmap(f_lin)), xs, us)
+
+    def f_expand(xs_, us_, lam_, mu_):
+        _, expand_fn = make_al_functions(obj, blocks, lam_, mu_)
+        return expand_fn(xs_, us_)
+
+    timeit("AL expansion only", jax.jit(jax.vmap(f_expand)), xs, us, lams, mus)
 
     # per-scenario AL functions need per-scenario duals: close over vmap
     def f_bp(xs_, us_, lam_, mu_, AB_):

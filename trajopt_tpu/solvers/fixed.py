@@ -52,9 +52,15 @@ def al_solve_fixed(
 ) -> ALSolution:
     blocks = tuple(blocks)
     dtype = us_init.dtype
-    xs = rollout(model, x0, us_init, times, dts)
     if xs_init is not None:
-        xs = jnp.where(jnp.all(jnp.isfinite(xs_init)), xs_init, xs)
+        # Warm start: trust the shifted trajectory outright.  A fresh
+        # fallback rollout here costs a full sequential N-step scan per MPC
+        # step and only helps when xs is non-finite but us is finite — the
+        # forward pass's isfinite acceptance already rejects such steps,
+        # and fleet-level recovery (reset on divergence) is the MPC pattern.
+        xs = xs_init
+    else:
+        xs = rollout(model, x0, us_init, times, dts)
     us = us_init
 
     lams, mus = init_duals(blocks, opts, dtype)

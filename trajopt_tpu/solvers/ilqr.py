@@ -62,13 +62,25 @@ def _use_errstate(model: DiscreteModel, opts: SolverOptions) -> bool:
 
 def _linearize(model: DiscreteModel, xs, us, times, dts, opts: SolverOptions):
     """Batched discrete Jacobians at the first N-1 knots."""
-    if opts.jacobian_mode == "approx":
+    if opts.jacobian_mode in ("approx", "approx1"):
+        # jacfwd, NOT the analytic dynamics_jacobian override: the closed
+        # forms assemble matrices entry-wise (scatters + tiny matmuls) and
+        # measure 3x slower end-to-end on TPU than batched jacfwd passes
+        # through the vectorized dynamics (bench 2026-08-18; same lesson as
+        # the chain-rule revert).  Separate x/u passes also beat one fused
+        # jacfwd over z=[x;u] by ~5% (the concat/slice relayout costs more
+        # than the second primal trace saves).
         f = model.model.dynamics
         n = xs.shape[-1]
         Af = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us[:-1], times[:-1])
         Bf = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us[:-1], times[:-1])
         dt_ = dts[:-1, None, None]
         eye = jnp.eye(n, dtype=xs.dtype)
+        if opts.jacobian_mode == "approx1":
+            # First-order (Euler) linearization: skips the O(dt^2)
+            # correction's batched tiny einsums (~30% of the whole RTI MPC
+            # step at B=2048, for no measurable quality change).
+            return eye + dt_ * Af, dt_ * Bf
         AfAf = jnp.einsum("kij,kjl->kil", Af, Af)
         A = eye + dt_ * Af + (0.5 * dt_ * dt_) * AfAf
         B = dt_ * Bf + (0.5 * dt_ * dt_) * jnp.einsum("kij,kjl->kil", Af, Bf)

@@ -48,6 +48,10 @@ class SolverOptions:
     # (A = I + dt Af + dt^2/2 Af^2) — ~4x less compute/bandwidth; iLQR is
     # Gauss-Newton, so approximate Jacobians trade convergence rate, not
     # solution accuracy (the forward rollout stays exact).
+    # "approx1" is the first-order (Euler) variant A = I + dt Af, B = dt Bf:
+    # skips the O(dt^2) correction's batched tiny einsums, which measure
+    # ~30% of a 1-iteration RTI MPC step on TPU at B=2048 for no quality
+    # change on warm-started re-solves.
     # "chain" assembles the same exact Jacobians via the integrator chain
     # rule from analytic dynamics_jacobian overrides — machine-precision
     # equivalent to "exact", preferred on CPU/f64 where closed forms exist
