@@ -110,7 +110,8 @@ def main():
                     iterations_linesearch=int(os.environ.get("BENCH_LS", 2)),
                     line_search_min_alpha=1e-4,
                     final_polish=False,
-                    jacobian_mode=os.environ.get("BENCH_JM", "approx1"))
+                    jacobian_mode=os.environ.get("BENCH_JM", "approx1"),
+                    linearize_dtype=os.environ.get("BENCH_LD", "same"))
 
     dm, obj, blocks, x0, times, dts, opts_cold, n, m, hover = build(
         B, N, tf, dtype, cold_opts)

@@ -116,3 +116,51 @@ def test_jacobian_chain_matches_jacfwd(rng):
         Ac, Bc = dm.jacobian_chain(x, u, 0.1, 0.05)
         assert np.allclose(A, Ac, atol=1e-11), integ
         assert np.allclose(B, Bc, atol=1e-11), integ
+
+
+def test_linearize_approx_modes(rng):
+    """approx (O(dt^2)) and approx1 (Euler) linearizations approach the
+    exact discrete Jacobian at the expected orders; bfloat16 tangents stay
+    within bf16 precision of the f32 result."""
+    import trajopt_tpu as to
+    from trajopt_tpu.models import Quadrotor
+    from trajopt_tpu.solvers import SolverOptions
+    from trajopt_tpu.solvers.ilqr import _linearize
+
+    model = Quadrotor()
+    dm = to.discretize(model, "rk4")
+    N, n, m = 5, 13, 4
+    xs = jnp.asarray(rng.standard_normal((N, n)) * 0.2)
+    xs = xs.at[:, 3:7].set(xs[:, 3:7] / jnp.linalg.norm(xs[:, 3:7], axis=1,
+                                                        keepdims=True))
+    us = jnp.asarray(2.0 + 0.1 * rng.standard_normal((N, m)))
+    times = jnp.linspace(0.0, 0.4, N)
+
+    def err(mode, dt, **kw):
+        dts = jnp.full(N, dt).at[-1].set(0.0)
+        A1, B1 = _linearize(dm, xs, us, times, dts,
+                            SolverOptions(jacobian_mode=mode, **kw))
+        A0, B0 = _linearize(dm, xs, us, times, dts,
+                            SolverOptions(jacobian_mode="exact"))
+        return float(jnp.max(jnp.abs(A1 - A0))), float(jnp.max(jnp.abs(B1 - B0)))
+
+    # order check: both approximations converge at ~O(dt^2) to the exact
+    # RK4 Jacobian (the state-dependence of Af along the RK4 stages caps
+    # the order); halving dt shrinks the error ~4x, and the O(dt^2)
+    # variant has the smaller constant.
+    a_h, a_l = err("approx", 0.05)[0], err("approx", 0.025)[0]
+    assert a_h / a_l > 3.0, (a_h, a_l)
+    e_h, e_l = err("approx1", 0.05)[0], err("approx1", 0.025)[0]
+    assert e_h / e_l > 3.0, (e_h, e_l)
+    assert e_h > a_h  # first-order is coarser than O(dt^2)
+
+    # bf16 tangents: same A,B within bf16 resolution, output dtype preserved
+    dts = jnp.full(N, 0.05).at[-1].set(0.0)
+    A32, B32 = _linearize(dm, xs, us, times, dts,
+                          SolverOptions(jacobian_mode="approx1"))
+    A16, B16 = _linearize(dm, xs, us, times, dts,
+                          SolverOptions(jacobian_mode="approx1",
+                                        linearize_dtype="bfloat16"))
+    assert A16.dtype == xs.dtype
+    assert float(jnp.max(jnp.abs(A16 - A32))) < 0.05
+    assert float(jnp.max(jnp.abs(B16 - B32))) < 0.05

@@ -72,8 +72,15 @@ def _linearize(model: DiscreteModel, xs, us, times, dts, opts: SolverOptions):
         # than the second primal trace saves).
         f = model.model.dynamics
         n = xs.shape[-1]
-        Af = jax.vmap(jax.jacfwd(f, argnums=0))(xs[:-1], us[:-1], times[:-1])
-        Bf = jax.vmap(jax.jacfwd(f, argnums=1))(xs[:-1], us[:-1], times[:-1])
+        xl, ul = xs[:-1], us[:-1]
+        if opts.linearize_dtype == "bfloat16":
+            # Half-width tangents: the jacfwd stage is HBM-bandwidth bound
+            # (tangent intermediates), and RTI MPC tolerates ~3-digit
+            # Jacobians (the forward rollout stays exact f32).
+            xl, ul = xl.astype(jnp.bfloat16), ul.astype(jnp.bfloat16)
+        Af = jax.vmap(jax.jacfwd(f, argnums=0))(xl, ul, times[:-1])
+        Bf = jax.vmap(jax.jacfwd(f, argnums=1))(xl, ul, times[:-1])
+        Af, Bf = Af.astype(xs.dtype), Bf.astype(xs.dtype)
         dt_ = dts[:-1, None, None]
         eye = jnp.eye(n, dtype=xs.dtype)
         if opts.jacobian_mode == "approx1":

@@ -57,6 +57,10 @@ class SolverOptions:
     # equivalent to "exact", preferred on CPU/f64 where closed forms exist
     # (on TPU the stage-chain's tiny matmuls are ~23x slower than jacfwd).
     jacobian_mode: str = "exact"
+    # Dtype for the approx/approx1 jacfwd tangents: "same" (trajectory
+    # dtype) or "bfloat16" (half-bandwidth tangent intermediates; the
+    # discrete A, B come back in the trajectory dtype).
+    linearize_dtype: str = "same"
 
     # -- Riccati backward pass ------------------------------------------------
     # "sequential": lax.scan recursion.  "parallel": associative-scan
