@@ -94,6 +94,34 @@ def main():
     K2, d2, dV12, dV22 = timeit("vmapped scan (XLA)", scan_fn,
                                 A, B, lxx, luu, lux, lx, lu, rho)
 
+    # the solver's actual small-matrix path
+    from trajopt_tpu.utils.linalg import chol_small, chol_solve_small
+
+    def scan_chol_small(A_, B_, lxx_, luu_, lux_, lx_, lu_, rho_):
+        def step(carry, inp):
+            Vx, Vxx = carry
+            a, b, qxx, quu, qux, qx, qu = inp
+            Qx = qx + a.T @ Vx
+            Qu = qu + b.T @ Vx
+            Qxx = qxx + a.T @ Vxx @ a
+            Quu = quu + b.T @ Vxx @ b + rho_ * jnp.eye(m, dtype=dt)
+            Qux = qux + b.T @ Vxx @ a
+            L, ok = chol_small(0.5 * (Quu + Quu.T))
+            Kk = -chol_solve_small(L, Qux)
+            dk = -chol_solve_small(L, Qu)
+            Vx_n = Qx + Kk.T @ Quu @ dk + Kk.T @ Qu + Qux.T @ dk
+            Vxx_n = Qxx + Kk.T @ Quu @ Kk + Kk.T @ Qux + Qux.T @ Kk
+            return (Vx_n, 0.5 * (Vxx_n + Vxx_n.T)), (Kk, dk)
+
+        inputs = (A_[::-1], B_[::-1], lxx_[:-1][::-1], luu_[::-1],
+                  lux_[::-1], lx_[:-1][::-1], lu_[::-1])
+        (Vx, Vxx), (K_, d_) = jax.lax.scan(
+            step, (lx_[-1], lxx_[-1]), inputs, unroll=8)
+        return K_[::-1], d_[::-1]
+
+    timeit("vmapped scan (chol_small)", jax.jit(jax.vmap(scan_chol_small)),
+           A, B, lxx, luu, lux, lx, lu, rho)
+
     err = float(jnp.max(jnp.abs(K1 - (-K2))))
     err2 = float(jnp.max(jnp.abs(K1 - K2)))
     log(f"gain agreement: max|K_pallas - K_scan| = {min(err, err2):.2e} "

@@ -64,7 +64,10 @@ def main():
         gradient_tolerance_intermediate=1e-3, bp_reg_initial=1e-6,
         iterations=6, iterations_outer=2, iterations_inner=5,
         iterations_linesearch=2, line_search_min_alpha=1e-4,
-        final_polish=False, jacobian_mode="approx", record_stats=False,
+        final_polish=False,
+        jacobian_mode=os.environ.get("BENCH_JM", "approx1"),
+        linearize_dtype=os.environ.get("BENCH_LD", "same"),
+        record_stats=False,
     )
     dm, obj, blocks, x0, times, dts, opts, n, m, hover = build(
         B, N, tf, dtype, opts_kw)
