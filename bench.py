@@ -125,13 +125,17 @@ def main():
     log(f"bench: B={B} N={N} dtype={dtype.__name__} device={jax.devices()[0]}")
 
     def chunked(fn, *args):
+        # 0-d leaves (the fleet-shared lin-carry refresh pointer) are
+        # broadcast to every chunk and identical on the way out.
         outs = []
         for i in range(0, B, chunk):
-            sliced = [jax.tree_util.tree_map(lambda a: a[i:i + chunk], arg)
-                      for arg in args]
+            sliced = [jax.tree_util.tree_map(
+                lambda a: a if jnp.ndim(a) == 0 else a[i:i + chunk], arg)
+                for arg in args]
             outs.append(fn(*sliced))
         return jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+            lambda *xs: xs[0] if jnp.ndim(xs[0]) == 0
+            else jnp.concatenate(xs, axis=0), *outs)
 
     # Cold solve (amortized across the MPC horizon; not part of the metric).
     cold_solve = jax.jit(jax.vmap(
@@ -144,10 +148,19 @@ def main():
 
     schedule = tuple(int(x) for x in
                      os.environ.get("BENCH_SCHEDULE", "1").split(","))
+    # Cross-step Jacobian carry: shift the previous step's (A, B) with the
+    # warm start and relinearize only a rotating LINWIN-knot window per
+    # step (mpc.init_lin_carry / solvers.fixed.refresh_linearization).
+    linwin = int(os.environ.get("BENCH_LINWIN", 0))
     controller = mpc.make_mpc_controller(
         dm, obj, blocks, times, dts, opts_mpc, batched=True,
-        schedule=schedule,
+        schedule=schedule, lin_window=linwin,
         relin_every=int(os.environ.get("BENCH_RELIN", 2)))
+    lin = None
+    if linwin:
+        A0, B0 = chunked(lambda s: mpc.init_lin_carry(
+            dm, s, times, dts, opts_mpc, batched=True)[:2], sol)
+        lin = (A0, B0, jnp.zeros((), jnp.int32))
 
     # sim_next closes over the reset trajectories: host copies (see build).
     x0_reset = np.asarray(x0s)
@@ -176,20 +189,23 @@ def main():
     # warmup / compile
     sim_next = jax.jit(sim_next)
 
-    def mpc_round(sol, key):
+    def mpc_round(sol, lin, key):
         x_meas, sol = sim_next(sol, key)
-        return chunked(controller, x_meas, sol)
+        if linwin:
+            return chunked(controller, x_meas, sol, lin)
+        return chunked(controller, x_meas, sol), None
 
     key, sub = jax.random.split(kp)
     t0 = time.time()
-    sol = jax.block_until_ready(mpc_round(sol, sub))
+    sol, lin = mpc_round(sol, lin, sub)
+    jax.block_until_ready(sol)
     log(f"mpc step compile+run: {time.time() - t0:.1f}s")
 
     # timed steady-state MPC steps
     t0 = time.time()
     for _ in range(steps):
         key, sub = jax.random.split(key)
-        sol = mpc_round(sol, sub)
+        sol, lin = mpc_round(sol, lin, sub)
     jax.block_until_ready(sol)
     dt_total = time.time() - t0
     solves_per_s = B * steps / dt_total

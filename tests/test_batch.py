@@ -103,3 +103,73 @@ def test_fixed_schedule_mpc_fleet(rng):
     assert warm.us.shape == (B, N, m)
     assert int(warm.iterations[0]) == 4  # static budget
     assert float(jnp.max(warm.max_violation)) < 1e-4
+
+
+def test_lin_carry_mpc_fleet(rng):
+    """Cross-step Jacobian carry (shift + rotating refresh window) tracks
+    the relinearize-every-step controller (exactly, for the constant-
+    Jacobian double integrator) and the fleet keeps contracting."""
+    dm, obj, blocks, times, dts, n, m, N, xf = _setup()
+    opts = SolverOptions(record_stats=False)
+    B = 4
+    x0s = jnp.asarray(rng.standard_normal((B, n)) * 0.3)
+    us0 = jnp.zeros((B, N, m))
+    sol = batch_solve(dm, obj, blocks, x0s, us0, times, dts, opts)
+    ctrl_full = mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts,
+                                        batched=True, schedule=(1,),
+                                        relin_every=1)
+    ctrl_carry = mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts,
+                                         batched=True, schedule=(1,),
+                                         lin_window=7)  # 7 | N-1 = 14
+    lin = mpc.init_lin_carry(dm, sol, times, dts, opts, batched=True)
+    assert lin[0].shape == (B, N - 1, n, n)
+    sol_f, sol_c = sol, sol
+    viols = []
+    for _ in range(6):
+        sol_f = ctrl_full(sol_f.xs[:, 1], sol_f)
+        sol_c, lin = ctrl_carry(sol_c.xs[:, 1], sol_c, lin)
+        viols.append(float(jnp.max(sol_c.max_violation)))
+    assert lin[2].ndim == 0  # fleet-shared refresh pointer (no scatter)
+    assert int(lin[2]) == (6 * 7) % (N - 1)  # pointer rotated
+    # 1-GN-iteration-per-step budget: the fleet contracts monotonically
+    assert viols[-1] < viols[0]
+    assert np.allclose(np.asarray(sol_c.us), np.asarray(sol_f.us), atol=1e-8)
+    # lin_window without a fixed schedule is an error
+    with pytest.raises(ValueError):
+        mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts,
+                                batched=True, lin_window=7)
+
+
+def test_refresh_linearization_mechanics(rng):
+    """Shift + rotating-window refresh bookkeeping on a NONLINEAR model
+    (state-dependent Jacobians): refreshed rows equal the exact
+    linearization at their knots, untouched rows equal the shifted carry."""
+    from trajopt_tpu.models import DubinsCar
+    from trajopt_tpu.solvers.fixed import refresh_linearization
+    from trajopt_tpu.solvers.ilqr import _linearize, _linearize_knots
+
+    N = 15
+    model = DubinsCar()
+    n, m = 3, 2
+    dm = to.discretize(model, "rk4")
+    times = jnp.linspace(0, 2.0, N)
+    dts = jnp.full(N, 2.0 / (N - 1)).at[-1].set(0.0)
+    opts = SolverOptions()
+    xs = jnp.asarray(rng.standard_normal((N, n)))
+    us = jnp.asarray(rng.standard_normal((N, m)))
+    A0, B0 = _linearize(dm, xs, us, times, dts, opts)
+    # shift one knot (what mpc_step does alongside shift_trajectory)
+    A_s, B_s, ptr = mpc.shift_linearization((A0, B0, jnp.zeros((), jnp.int32)))
+    assert np.allclose(A_s[:-1], A0[1:]) and np.allclose(A_s[-1], A0[-1])
+    w, p = 5, 4
+    (A_r, B_r), ptr_n = refresh_linearization(
+        dm, (A_s, B_s), xs[:-1], us[:-1], times[:-1], dts[:-1], opts,
+        jnp.asarray(p, jnp.int32), w)
+    assert int(ptr_n) == (p + w) % (N - 1)
+    A_w, B_w = _linearize_knots(dm, xs[p:p + w], us[p:p + w],
+                                times[p:p + w], dts[p:p + w], opts)
+    assert np.allclose(A_r[p:p + w], A_w) and np.allclose(B_r[p:p + w], B_w)
+    mask = np.ones(N - 1, bool)
+    mask[p:p + w] = False
+    assert np.allclose(A_r[mask], A_s[mask])
+    assert np.allclose(B_r[mask], B_s[mask])

@@ -147,6 +147,31 @@ def main():
     x_meas = sol.xs[:, 1, :]
     timeit("FULL mpc step", controller, x_meas, sol)
 
+    # --- cross-step Jacobian carry components ---
+    from trajopt_tpu.solvers.fixed import refresh_linearization
+    linwin = int(os.environ.get("BENCH_LINWIN", 20))
+    lin = mpc.init_lin_carry(dm, sol, times, dts, opts, batched=True)
+
+    def f_shift(A_, B_):
+        A2, B2, _ = mpc.shift_linearization((A_, B_, lin[2]))
+        return A2, B2
+
+    timeit("lin shift (concat)", jax.jit(jax.vmap(f_shift)), lin[0], lin[1])
+
+    def f_refresh(xs_, us_, A_, B_, ptr_):
+        return refresh_linearization(dm, (A_, B_), xs_[:-1], us_[:-1],
+                                     times[:-1], dts[:-1], opts, ptr_, linwin)
+
+    timeit(f"lin refresh (w={linwin})",
+           jax.jit(jax.vmap(f_refresh, in_axes=(0, 0, 0, 0, None),
+                            out_axes=((0, 0), None))),
+           xs, us, lin[0], lin[1], lin[2])
+
+    ctrl_carry = mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts,
+                                         batched=True, schedule=(1,),
+                                         lin_window=linwin)
+    timeit("FULL mpc step (lin carry)", ctrl_carry, x_meas, sol, lin)
+
 
 if __name__ == "__main__":
     main()

@@ -29,10 +29,37 @@ from .al import (
     ALSolution, ConstraintBlock, eval_blocks, init_duals, make_al_functions,
     max_violation_blocks, update_duals, update_penalties,
 )
-from .ilqr import _backward_pass, _forward_pass, _linearize
+from .ilqr import _backward_pass, _forward_pass, _linearize, _linearize_knots
 from .options import SolverOptions
 
-__all__ = ["al_solve_fixed"]
+__all__ = ["al_solve_fixed", "refresh_linearization"]
+
+
+def refresh_linearization(model, AB, xs, us, times, dts, opts,
+                          ptr, window: int):
+    """Refresh a ``window``-knot slice of carried dynamics Jacobians.
+
+    Real-time-iteration MPC steps can carry the previous step's (A, B)
+    linearization (shifted one knot, like the warm-started trajectory) and
+    relinearize only a rotating window per step: linearization is the
+    dominant per-step cost on TPU (CLAUDE.md measured breakdown), Jacobians
+    vary smoothly along the trajectory, and the rotating pointer bounds the
+    staleness of every knot to ceil((N-1)/window) MPC steps.
+
+    ``ptr`` is a traced int32 (per-scenario under vmap); the window length
+    is static, so the refresh costs window/(N-1) of a full relinearization
+    regardless of the pointer value.  Choose ``window`` dividing N-1 for
+    even coverage (lax.dynamic_slice clamps at the end otherwise).
+    """
+    A, B = AB
+    n_knots = A.shape[0]
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ptr, window)
+    A_w, B_w = _linearize_knots(model, sl(xs), sl(us), sl(times), sl(dts),
+                                opts)
+    A = jax.lax.dynamic_update_slice_in_dim(A, A_w, ptr, axis=0)
+    B = jax.lax.dynamic_update_slice_in_dim(B, B_w, ptr, axis=0)
+    ptr = (ptr + window) % n_knots
+    return (A, B), ptr
 
 
 def al_solve_fixed(
@@ -49,6 +76,8 @@ def al_solve_fixed(
     xs_init: jax.Array = None,
     duals_init=None,
     penalties_init=None,
+    lin_carry=None,
+    lin_window: int = 0,
 ) -> ALSolution:
     blocks = tuple(blocks)
     dtype = us_init.dtype
@@ -75,12 +104,22 @@ def al_solve_fixed(
     total_iters = 0
 
     AB = None
+    lin_ptr = None
+    if lin_carry is not None:
+        # Cross-step Jacobian carry (real-time-iteration MPC): reuse the
+        # previous step's shifted (A, B) everywhere except a rotating
+        # ``lin_window``-knot refresh — see refresh_linearization.
+        A_c, B_c, lin_ptr = lin_carry
+        AB, lin_ptr = refresh_linearization(
+            model, (A_c, B_c), xs[:-1], us[:-1], times[:-1], dts[:-1],
+            opts, lin_ptr, lin_window)
     for seg in schedule:
         cost_fn, expand_fn = make_al_functions(obj, blocks, lams, mus)
         J = cost_fn(xs, us)
         for i in range(seg):
             # Global relinearization cadence (counts across segments).
-            if AB is None or total_iters % relin_every == 0:
+            if lin_carry is None and (AB is None
+                                      or total_iters % relin_every == 0):
                 AB = _linearize(model, xs, us, times, dts, opts)
             bp = _backward_pass(model, expand_fn, xs, us, times, dts, rho,
                                 jnp.ones((), dtype), opts, AB=AB)
@@ -115,7 +154,7 @@ def al_solve_fixed(
             update_penalties(mus, opts), mus)
         viol_prev = viol
 
-    return ALSolution(
+    sol = ALSolution(
         xs=xs, us=us, J=obj.cost(xs, us), max_violation=viol_prev,
         iterations=jnp.asarray(total_iters, jnp.int32),
         outer_iterations=jnp.asarray(len(schedule), jnp.int32),
@@ -123,3 +162,7 @@ def al_solve_fixed(
         converged=viol_prev < opts.constraint_tolerance,
         duals=lams, penalties=mus,
     )
+    if lin_carry is not None:
+        A_c, B_c = AB
+        return sol, (A_c, B_c, lin_ptr)
+    return sol

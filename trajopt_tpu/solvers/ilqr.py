@@ -60,8 +60,14 @@ def _use_errstate(model: DiscreteModel, opts: SolverOptions) -> bool:
     return opts.error_state and model.model.errstate_dim != model.n
 
 
-def _linearize(model: DiscreteModel, xs, us, times, dts, opts: SolverOptions):
-    """Batched discrete Jacobians at the first N-1 knots."""
+def _linearize_knots(model: DiscreteModel, xk, uk, tk, dtk,
+                     opts: SolverOptions):
+    """Batched discrete Jacobians at an explicit set of knots.
+
+    ``xk (K, n) / uk (K, m) / tk (K,) / dtk (K,)`` are already sliced to the
+    knots to linearize — the full first-(N-1) set for a cold solve, or a
+    rotating refresh window for real-time MPC steps that carry Jacobians
+    across solves (solvers/fixed.py)."""
     if opts.jacobian_mode in ("approx", "approx1"):
         # jacfwd, NOT the analytic dynamics_jacobian override: the closed
         # forms assemble matrices entry-wise (scatters + tiny matmuls) and
@@ -71,18 +77,19 @@ def _linearize(model: DiscreteModel, xs, us, times, dts, opts: SolverOptions):
         # jacfwd over z=[x;u] by ~5% (the concat/slice relayout costs more
         # than the second primal trace saves).
         f = model.model.dynamics
-        n = xs.shape[-1]
-        xl, ul = xs[:-1], us[:-1]
+        n = xk.shape[-1]
+        dtype = xk.dtype
+        xl, ul = xk, uk
         if opts.linearize_dtype == "bfloat16":
             # Half-width tangents: the jacfwd stage is HBM-bandwidth bound
             # (tangent intermediates), and RTI MPC tolerates ~3-digit
             # Jacobians (the forward rollout stays exact f32).
             xl, ul = xl.astype(jnp.bfloat16), ul.astype(jnp.bfloat16)
-        Af = jax.vmap(jax.jacfwd(f, argnums=0))(xl, ul, times[:-1])
-        Bf = jax.vmap(jax.jacfwd(f, argnums=1))(xl, ul, times[:-1])
-        Af, Bf = Af.astype(xs.dtype), Bf.astype(xs.dtype)
-        dt_ = dts[:-1, None, None]
-        eye = jnp.eye(n, dtype=xs.dtype)
+        Af = jax.vmap(jax.jacfwd(f, argnums=0))(xl, ul, tk)
+        Bf = jax.vmap(jax.jacfwd(f, argnums=1))(xl, ul, tk)
+        Af, Bf = Af.astype(dtype), Bf.astype(dtype)
+        dt_ = dtk[:, None, None]
+        eye = jnp.eye(n, dtype=dtype)
         if opts.jacobian_mode == "approx1":
             # First-order (Euler) linearization: skips the O(dt^2)
             # correction's batched tiny einsums (~30% of the whole RTI MPC
@@ -93,9 +100,14 @@ def _linearize(model: DiscreteModel, xs, us, times, dts, opts: SolverOptions):
         B = dt_ * Bf + (0.5 * dt_ * dt_) * jnp.einsum("kij,kjl->kil", Af, Bf)
         return A, B
     if opts.jacobian_mode == "chain":
-        return jax.vmap(model.jacobian_chain)(xs[:-1], us[:-1], times[:-1],
-                                              dts[:-1])
-    return jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
+        return jax.vmap(model.jacobian_chain)(xk, uk, tk, dtk)
+    return jax.vmap(model.jacobian)(xk, uk, tk, dtk)
+
+
+def _linearize(model: DiscreteModel, xs, us, times, dts, opts: SolverOptions):
+    """Batched discrete Jacobians at the first N-1 knots."""
+    return _linearize_knots(model, xs[:-1], us[:-1], times[:-1], dts[:-1],
+                            opts)
 
 
 def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drho,
