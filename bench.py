@@ -76,7 +76,7 @@ def main():
     dtype = jnp.float32
     B = int(os.environ.get("BENCH_B", 2048))
     N = int(os.environ.get("BENCH_N", 101))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    steps = int(os.environ.get("BENCH_STEPS", 40))
     # Microbatch: one compiled program per chunk of scenarios (B=4096 in a
     # single program exceeds a per-program device limit on this chip).
     chunk = min(B, int(os.environ.get("BENCH_CHUNK", 2048)))
@@ -102,12 +102,15 @@ def main():
     # one Gauss-Newton iteration + dual update per MPC step (schedule="1"),
     # FIRST-ORDER approximate linearization (the O(dt^2) correction's
     # batched tiny einsums cost ~30% of the step for no quality change),
-    # 2-alpha parallel line search — 33400 solves/s/chip at median viol
-    # 5.6e-7 (26160 with "approx", 6120 for the old "2,1,1"/exact/6-alpha
-    # budget), and the fleet CONTRACTS: 30 steps in, max viol is ~1e-10.
+    # SINGLE-alpha full Newton step with cost-descent acceptance (LS=1:
+    # +6% over the 2-alpha search, identical fleet quality — warm-started
+    # RTI steps essentially always accept alpha=1) — 37500 solves/s/chip
+    # at median viol 0 after 40 steps (33600 with LS=2, 26160 with
+    # "approx", 6120 for the old "2,1,1"/exact/6-alpha budget); the fleet
+    # CONTRACTS (max viol 2.9e-5 at 40 steps and falling).
     # Knobs: BENCH_SCHEDULE / BENCH_JM / BENCH_LS / BENCH_RELIN.
     mpc_opts.update(iterations=6, iterations_outer=2, iterations_inner=5,
-                    iterations_linesearch=int(os.environ.get("BENCH_LS", 2)),
+                    iterations_linesearch=int(os.environ.get("BENCH_LS", 1)),
                     line_search_min_alpha=1e-4,
                     final_polish=False,
                     jacobian_mode=os.environ.get("BENCH_JM", "approx1"),
