@@ -173,3 +173,39 @@ def test_refresh_linearization_mechanics(rng):
     mask[p:p + w] = False
     assert np.allclose(A_r[mask], A_s[mask])
     assert np.allclose(B_r[mask], B_s[mask])
+
+
+def test_unconditional_full_step_mpc(rng):
+    """iterations_linesearch=0 (RTI mode): unconditional alpha=1 step with
+    no acceptance test — the fleet still contracts under a 1-iteration
+    schedule, and the to-tolerance solver rejects the option."""
+    dm, obj, blocks, times, dts, n, m, N, xf = _setup()
+    opts = SolverOptions(record_stats=False)
+    opts0 = SolverOptions(record_stats=False, iterations_linesearch=0)
+    B = 4
+    x0s = jnp.asarray(rng.standard_normal((B, n)) * 0.3)
+    us0 = jnp.zeros((B, N, m))
+    sol = batch_solve(dm, obj, blocks, x0s, us0, times, dts, opts)
+    ctrl = mpc.make_mpc_controller(dm, obj, blocks, times, dts, opts0,
+                                   batched=True, schedule=(1,))
+    sol_c = sol
+    viols = []
+    for _ in range(5):
+        sol_c = ctrl(sol_c.xs[:, 1], sol_c)
+        viols.append(float(jnp.max(sol_c.max_violation)))
+    assert np.all(np.isfinite(np.asarray(sol_c.us)))
+    assert viols[-1] < viols[0]  # contracting
+    # warm-started RTI steps accept alpha=1: the unconditional step equals
+    # the accept-tested single-alpha step exactly
+    ctrl1 = mpc.make_mpc_controller(
+        dm, obj, blocks, times, dts,
+        SolverOptions(record_stats=False, iterations_linesearch=1),
+        batched=True, schedule=(1,))
+    sol_1 = sol
+    for _ in range(5):
+        sol_1 = ctrl1(sol_1.xs[:, 1], sol_1)
+    assert np.allclose(np.asarray(sol_c.us), np.asarray(sol_1.us), atol=1e-10)
+    # to-tolerance path refuses the option
+    from trajopt_tpu.solvers.al import al_solve
+    with pytest.raises(ValueError):
+        al_solve(dm, obj, blocks, x0s[0], us0[0], times, dts, opts0)

@@ -80,7 +80,10 @@ class SolverOptions:
     line_search_upper_bound: float = 10.0
     line_search_decrease_factor: float = 0.5
     line_search_min_alpha: float = 1e-6
-    iterations_linesearch: int = 16  # number of parallel step sizes
+    # Number of parallel line-search step sizes; 0 = unconditional full
+    # Newton step (real-time-iteration mode, fixed-schedule solver only —
+    # skips the acceptance test AND both AL cost evaluations).
+    iterations_linesearch: int = 16
 
     # -- safeguards -----------------------------------------------------------
     max_cost_value: float = 1e12
