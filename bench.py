@@ -104,17 +104,20 @@ def main():
     # batched tiny einsums cost ~30% of the step for no quality change),
     # SINGLE-alpha full Newton step with cost-descent acceptance (LS=1:
     # +6% over the 2-alpha search, identical fleet quality — warm-started
-    # RTI steps essentially always accept alpha=1) — 37500 solves/s/chip
-    # at median viol 0 after 40 steps (33600 with LS=2, 26160 with
-    # "approx", 6120 for the old "2,1,1"/exact/6-alpha budget); the fleet
-    # CONTRACTS (max viol 2.9e-5 at 40 steps and falling).
-    # Knobs: BENCH_SCHEDULE / BENCH_JM / BENCH_LS / BENCH_RELIN.
+    # RTI steps essentially always accept alpha=1), bfloat16 jacfwd
+    # tangents (the jacfwd stage is HBM-bound; +1.7%, max viol 3.9e-9) —
+    # 38220 solves/s/chip at median viol 0 after 40 steps (37580 with f32
+    # tangents, 33600 with LS=2, 26160 with "approx", 6120 for the old
+    # "2,1,1"/exact/6-alpha budget); the fleet CONTRACTS.  LS=0 (no
+    # cost-descent guard) diverges a scenario (max viol 8e8) AND reads
+    # slower — rejected.
+    # Knobs: BENCH_SCHEDULE / BENCH_JM / BENCH_LS / BENCH_LD / BENCH_RELIN.
     mpc_opts.update(iterations=6, iterations_outer=2, iterations_inner=5,
                     iterations_linesearch=int(os.environ.get("BENCH_LS", 1)),
                     line_search_min_alpha=1e-4,
                     final_polish=False,
                     jacobian_mode=os.environ.get("BENCH_JM", "approx1"),
-                    linearize_dtype=os.environ.get("BENCH_LD", "same"))
+                    linearize_dtype=os.environ.get("BENCH_LD", "bfloat16"))
 
     dm, obj, blocks, x0, times, dts, opts_cold, n, m, hover = build(
         B, N, tf, dtype, cold_opts)

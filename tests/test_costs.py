@@ -273,3 +273,21 @@ def test_diagonal_lie_cost_multi_rotation(rng):
     g = np.asarray(cost._grad_x(jnp.asarray(x)))
     g_ad = np.asarray(jax.grad(cost.term_cost)(jnp.asarray(x)))
     assert np.allclose(g, g_ad, atol=1e-10)
+
+
+def test_not_psd_warning(rng, dims):
+    """Constructor-time definiteness warnings (cost_functions.jl:437-444):
+    fire for concrete indefinite Q/R, silent for PSD inputs."""
+    import warnings
+
+    n, m = dims
+    Qbad = np.eye(n)
+    Qbad[0, 0] = -1.0
+    with pytest.warns(UserWarning, match="Q is not positive semidefinite"):
+        QuadraticCost.create(Qbad, np.eye(m))
+    with pytest.warns(UserWarning, match="R is not positive semidefinite"):
+        DiagonalCost.create(np.ones(n), -np.ones(m))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        QuadraticCost.create(np.eye(n), np.eye(m))
+        DiagonalCost.create(np.ones(n), np.ones(m))

@@ -185,6 +185,8 @@ class DiagonalCost:
         if Rd.ndim == 2:
             Rd = jnp.diag(Rd)
         n, m = Qd.shape[0], Rd.shape[0]
+        _warn_not_psd("Q", Qd)  # cost_functions.jl:337-343
+        _warn_not_psd("R", Rd)
         q = jnp.zeros((n,), Qd.dtype) if q is None else jnp.asarray(q, Qd.dtype)
         r = jnp.zeros((m,), Qd.dtype) if r is None else jnp.asarray(r, Qd.dtype)
         return cls(Qd=Qd, Rd=Rd, q=q, r=r, c=jnp.asarray(c, Qd.dtype))
