@@ -80,3 +80,16 @@ def test_in_cone_and_violation(rng):
     x = jnp.array([-1.0, 0.5])
     assert float(cones.violation(Cone.NEGATIVE_ORTHANT, x)) == pytest.approx(0.5)
     assert float(cones.violation(Cone.ZERO, x)) == pytest.approx(1.0)
+
+
+def test_cone_status():
+    """cone_status regime labels (cones.jl:278-291)."""
+    import numpy as np
+    from trajopt_tpu import SecondOrderCone, Inequality, cone_status
+
+    v = np.array([3.0, 4.0])  # ||v|| = 5
+    assert cone_status(SecondOrderCone, np.append(v, -6.0)) == "below"
+    assert cone_status(SecondOrderCone, np.append(v, 6.0)) == "in"
+    assert cone_status(SecondOrderCone, np.append(v, 1.0)) == "outside"
+    assert cone_status(Inequality, np.array([-1.0, -2.0])) == "in"
+    assert cone_status(Inequality, np.array([-1.0, 2.0])) == "outside"

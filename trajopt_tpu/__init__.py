@@ -16,6 +16,7 @@ from .cones import (
     PositiveOrthant,
     SecondOrderCone,
     ZeroCone,
+    cone_status,
     dualcone,
     in_cone,
     projection,

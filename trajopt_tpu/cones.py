@@ -38,6 +38,7 @@ __all__ = [
     "projection_jacobian",
     "projection_hessian",
     "in_cone",
+    "cone_status",
     "violation",
 ]
 
@@ -209,3 +210,26 @@ def violation(cone: Cone, x: jax.Array) -> jax.Array:
     if cone is Cone.SECOND_ORDER:
         return jnp.max(jnp.abs(x - projection(cone, x)), initial=0.0)
     raise ValueError(f"unknown cone {cone}")
+
+
+def cone_status(cone: Cone, x) -> str:
+    """SOC regime label (cones.jl:278-291): ``"below"`` (in the polar cone,
+    projection is 0), ``"in"`` (projection is identity), or ``"outside"``
+    (the ray-scaling branch).  Host-side diagnostic on concrete values —
+    the reference returns Symbols; traced code should branch on
+    :func:`in_cone` / :func:`projection` instead.
+    """
+    import numpy as np
+
+    if cone is not Cone.SECOND_ORDER:
+        return "in" if bool(np.asarray(in_cone(cone, jnp.asarray(x)))) \
+            else "outside"
+    arr = np.asarray(x)
+    s, a = arr[-1], float(np.linalg.norm(arr[:-1]))
+    if a <= -s:
+        return "below"
+    if a <= s:
+        return "in"
+    if a > abs(s):
+        return "outside"
+    return "invalid"
