@@ -172,3 +172,43 @@ def test_quat_vec_eq(rng):
     # exact match: zero residual
     x = rng.standard_normal(n); x[3:7] = -qf  # sign flip is the same rotation
     assert np.allclose(con.evaluate(jnp.asarray(x), u), 0, atol=1e-12)
+
+
+def test_state_only_constraint_solves():
+    """A constraint built WITHOUT the m= embed (the reference's natural
+    StateConstraint signature, e.g. CircleConstraint(n, xc, yc, r)) has a
+    narrow (p, n) Jacobian; full_width_jacobian pads it so the AL expansion,
+    projected Newton, and NLP rows all consume it (regression: previously
+    broke make_al_functions' g_z[:, n:] split)."""
+    import trajopt_tpu as to
+    from trajopt_tpu.models import DoubleIntegrator
+    from trajopt_tpu.solvers import ALTROSolver, SolverOptions
+
+    model = DoubleIntegrator()
+    n, m, N, tf = 4, 2, 21, 2.0
+    xf = jnp.array([1.0, 1.0, 0.0, 0.0])
+    obj = to.LQRObjective(jnp.ones(n), 0.1 * jnp.ones(m), 100.0 * jnp.ones(n),
+                          xf, N)
+    cons = to.ConstraintList(n, m, N)
+    circle = to.CircleConstraint.create(n, [0.5], [0.5], [0.2])  # no m=
+    assert circle.jacobian(jnp.zeros(n), jnp.zeros(m)).shape == (1, n)
+    from trajopt_tpu.constraints import full_width_jacobian
+    J = full_width_jacobian(circle, jnp.full(n, 0.3), jnp.zeros(m))
+    assert J.shape == (1, n + m) and np.allclose(J[:, n:], 0.0)
+    cons = to.add_constraint(cons, circle, range(1, N - 1))
+    cons = to.add_constraint(cons, to.GoalConstraint.create(xf, m=m), [N - 1])
+    prob = to.Problem(model, obj, jnp.zeros(n), tf, xf=xf, constraints=cons)
+    sol = ALTROSolver(prob, SolverOptions(projected_newton=True)).solve()
+    assert bool(sol.converged)
+    d = jnp.sqrt((sol.xs[1:-1, 0] - 0.5) ** 2 + (sol.xs[1:-1, 1] - 0.5) ** 2)
+    assert float(d.min()) > 0.2 - 1e-5
+    assert float(jnp.linalg.norm(sol.xs[-1] - xf)) < 1e-5
+
+    # NLP Jacobian rows agree with whole-vector AD through eval_c
+    # (rollout first: default states are NaN-filled like the reference, and
+    # NaN primals poison structurally-zero AD-oracle entries)
+    nlp = to.TrajOptNLP(prob.rollout())
+    Z = nlp.initial_trajectory() + 0.01
+    Jd = nlp.jac_c_dense(Z)
+    Jad = jax.jacfwd(nlp.eval_c)(Z)
+    assert np.allclose(Jd, Jad, atol=1e-8)

@@ -42,6 +42,7 @@ __all__ = [
     "QuatVecEq",
     "sense",
     "is_bound",
+    "full_width_jacobian",
 ]
 
 _NEG_INF = -np.inf
@@ -103,6 +104,31 @@ def sense(con: AbstractConstraint) -> Cone:
 
 def is_bound(con: AbstractConstraint) -> bool:
     return con.is_bound
+
+
+def full_width_jacobian(con: AbstractConstraint, x, u):
+    """``con.jacobian`` padded to the full stage width ``(p, n+m)``.
+
+    The reference's StateConstraint/ControlConstraint Jacobians are narrow —
+    ``(p, n)`` / ``(p, m)`` (abstract_constraint.jl:82-94 input traits) — and
+    constraints here built without an explicit ``m=``/``n=`` embed produce the
+    same narrow forms.  Solver consumers that assemble whole-stage expansions
+    (AL expansion, projected Newton, NLP Jacobian rows) need the full width;
+    shapes are static, so the branch resolves at trace time and the zero pad
+    fuses away.
+    """
+    J = con.jacobian(x, u)
+    n, m = x.shape[-1], u.shape[-1]
+    w = J.shape[-1]
+    if w == n + m:
+        return J
+    zeros = lambda c: jnp.zeros(J.shape[:-1] + (c,), J.dtype)
+    if getattr(con, "kind", "stage") == "control" and w == m:
+        return jnp.concatenate([zeros(n), J], axis=-1)
+    if w == n:
+        return jnp.concatenate([J, zeros(m)], axis=-1)
+    raise ValueError(
+        f"constraint jacobian width {w} matches neither n={n}, m={m}, nor n+m")
 
 
 # ---------------------------------------------------------------------------
@@ -489,7 +515,8 @@ class IndexedConstraint(AbstractConstraint):
         return self.con.evaluate(x[np.asarray(self.ix)], u[np.asarray(self.iu)])
 
     def jacobian(self, x, u):  # Jacobian scatter (constraints.jl:900-928)
-        J0 = self.con.jacobian(x[np.asarray(self.ix)], u[np.asarray(self.iu)])
+        J0 = full_width_jacobian(self.con, x[np.asarray(self.ix)],
+                                 u[np.asarray(self.iu)])
         n0 = len(self.ix)
         J = jnp.zeros((self.output_dim, self.n + self.m), J0.dtype)
         J = J.at[:, np.asarray(self.ix)].set(J0[:, :n0])

@@ -40,6 +40,7 @@ import numpy as np
 
 from .cones import Cone, violation as cone_violation
 from .constraint_list import ConstraintList
+from .constraints import full_width_jacobian
 from .problem import Problem
 
 __all__ = ["TrajData", "TrajOptNLP", "JacobianStructure", "solve_nlp"]
@@ -412,7 +413,8 @@ class TrajOptNLP:
             if self.remove_bounds and con.is_bound:
                 continue
             ks = np.asarray(inds)
-            J = jax.vmap(con.jacobian)(xs[ks], us[ks])  # (K, p, n+m)
+            J = jax.vmap(lambda x, u: full_width_jacobian(con, x, u))(
+                xs[ks], us[ks])                          # (K, p, n+m)
             if con.kind == "state":
                 J = J[:, :, : self.n]
             elif con.kind == "control":

@@ -31,7 +31,7 @@ import numpy as np
 from flax import struct
 
 from ..cones import Cone, dualcone, projection, projection_jacobian, violation
-from ..constraints import BoundConstraint
+from ..constraints import BoundConstraint, full_width_jacobian
 from ..dynamics import DiscreteModel, rollout
 from ..objective import Objective
 from .ilqr import ILQRResult, ilqr_solve
@@ -115,8 +115,10 @@ def _block_eval(block: ConstraintBlock, xs, us):
 
 
 def _block_jac(block: ConstraintBlock, xs, us):
-    return jax.vmap(block.con.jacobian)(_take_knots(xs, block.inds),
-                                        _take_knots(us, block.inds))
+    # full-width (K, p, n+m) rows — narrow state-/control-only Jacobians
+    # are zero-padded (constraints.full_width_jacobian)
+    return jax.vmap(lambda x, u: full_width_jacobian(block.con, x, u))(
+        _take_knots(xs, block.inds), _take_knots(us, block.inds))
 
 
 def eval_blocks(blocks: Sequence[ConstraintBlock], xs, us):

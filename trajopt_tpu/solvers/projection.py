@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cones import Cone
+from ..constraints import full_width_jacobian
 from ..dynamics import DiscreteModel
 from ..objective import Objective
 from .al import ALSolution, ConstraintBlock, eval_blocks, max_violation_blocks
@@ -90,7 +91,8 @@ def projected_newton(
                 continue  # handled by the AL phase
             idx = jnp.array(block.inds)
             c = jax.vmap(block.con.evaluate)(xs[idx], us[idx])      # (K, p)
-            Jc = jax.vmap(block.con.jacobian)(xs[idx], us[idx])     # (K, p, n+m)
+            Jc = jax.vmap(lambda x, u: full_width_jacobian(block.con, x, u))(
+                xs[idx], us[idx])                                   # (K, p, n+m)
             K_, p = c.shape
             D_blk = jnp.zeros((K_, p, Z), xs.dtype)
             for i, k in enumerate(block.inds):
