@@ -28,6 +28,7 @@ def test_goal_constraint(rng):
     n, m = 5, 2
     xf = rng.standard_normal(n)
     con = GoalConstraint.create(xf, m=m)
+    assert con.con_label(0) == "index 0"  # generic fallback (abstract_constraint.jl:151)
     x = jnp.asarray(rng.standard_normal(n)); u = jnp.asarray(rng.standard_normal(m))
     assert np.allclose(con.evaluate(x, u), x - xf)
     assert con.sense is Cone.ZERO and con.is_bound
@@ -127,6 +128,13 @@ def test_bound_constraint(rng):
     # invalid bounds raise (checkBounds, constraints.jl:708-719)
     with pytest.raises(ValueError):
         BoundConstraint.create(n, m, x_min=1, x_max=-1)
+    # row labels: upper rows then lower rows (con_label, constraints.jl:689-706)
+    assert [con.con_label(i) for i in range(con.output_dim)] == [
+        "x max 0", "x max 1", "u max 0", "u max 1",
+        "x min 0", "x min 2", "u min 0", "u min 1",
+    ]
+    with pytest.raises(IndexError):
+        con.con_label(8)
 
 
 def test_state_control_bounds(rng):

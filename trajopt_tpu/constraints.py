@@ -76,6 +76,13 @@ class AbstractConstraint:
     def violation(self, x: jax.Array, u: jax.Array) -> jax.Array:
         return cone_violation(self.sense, self.evaluate(x, u))
 
+    def con_label(self, i: int) -> str:
+        """Human-readable label for output row ``i`` (0-based), for solver
+        summaries (abstract_constraint.jl:151)."""
+        if not 0 <= i < self.output_dim:
+            raise IndexError(f"constraint row {i} out of range")
+        return f"index {i}"
+
     # -- bound queries for direct solvers (abstract_constraint.jl:107-139) ----
     @property
     def is_bound(self) -> bool:
@@ -468,6 +475,22 @@ class BoundConstraint(AbstractConstraint):
 
     def upper_bound(self):
         return np.asarray(self.z_max)
+
+    def con_label(self, i: int) -> str:
+        """Row label: upper rows first, then lower, over the compressed
+        finite-index sets (constraints.jl:689-706; 0-based here)."""
+        nu = len(self.i_max)
+        if 0 <= i < nu:
+            z = self.i_max[i]
+            kind = "max"
+        elif nu <= i < self.output_dim:
+            z = self.i_min[i - nu]
+            kind = "min"
+        else:
+            raise IndexError(f"constraint row {i} out of range")
+        if z < self.n:
+            return f"x {kind} {z}"
+        return f"u {kind} {z - self.n}"
 
 
 def StateBound(n, m, x_min=None, x_max=None) -> BoundConstraint:
