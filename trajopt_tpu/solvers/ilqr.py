@@ -75,7 +75,12 @@ def _linearize_knots(model: DiscreteModel, xk, uk, tk, dtk,
         # through the vectorized dynamics (bench 2026-08-18; same lesson as
         # the chain-rule revert).  Separate x/u passes also beat one fused
         # jacfwd over z=[x;u] by ~5% (the concat/slice relayout costs more
-        # than the second primal trace saves).
+        # than the second primal trace saves), AND beat the single-trace
+        # jax.jacfwd(f, argnums=(0, 1)) by 1.7% in the FULL MPC step
+        # (38167 vs 37508 solves/s) even though the joint form is 56x
+        # faster in isolation (0.24 vs 13.8 ms, tools/bench_linearize.py):
+        # XLA overlaps/fuses the two-pass work inside the fused step, and
+        # the joint form's layout costs the downstream more than it saves.
         f = model.model.dynamics
         n = xk.shape[-1]
         dtype = xk.dtype
