@@ -220,3 +220,61 @@ def test_state_only_constraint_solves():
     Jd = nlp.jac_c_dense(Z)
     Jad = jax.jacfwd(nlp.eval_c)(Z)
     assert np.allclose(Jd, Jad, atol=1e-8)
+
+
+def test_jacobian_fd_matches_ad(rng):
+    # DiffMethod=FiniteDifference analog (src/TrajectoryOptimization.jl:23,
+    # constraint_list.jl:40-41); FD-vs-AD oracle technique of
+    # constraint_tests.jl:437-445.
+    n, m = 5, 2
+    con = CircleConstraint.create(n, [0.5, -0.2], [0.1, 0.4], [0.3, 0.2], m=m)
+    x = jnp.asarray(rng.standard_normal(n))
+    u = jnp.asarray(rng.standard_normal(m))
+    J_ad = jnp.concatenate(
+        [jax.jacfwd(con.evaluate, argnums=0)(x, u),
+         jax.jacfwd(con.evaluate, argnums=1)(x, u)], axis=-1)
+    assert np.allclose(con.jacobian_fd(x, u), J_ad, atol=1e-6)
+
+    qf = rng.standard_normal(4); qf /= np.linalg.norm(qf)
+    qcon = QuatVecEq(qf=jnp.asarray(qf), n=13, m=4)
+    xq = jnp.asarray(rng.standard_normal(13))
+    uq = jnp.asarray(rng.standard_normal(4))
+    J_ad = jnp.concatenate(
+        [jax.jacfwd(qcon.evaluate, argnums=0)(xq, uq),
+         jax.jacfwd(qcon.evaluate, argnums=1)(xq, uq)], axis=-1)
+    assert np.allclose(qcon.jacobian_fd(xq, uq), J_ad, atol=1e-6)
+
+
+def test_fd_diff_method_solve():
+    # A solve with diff_method="fd" constraints matches the AD solve
+    # (per-constraint DiffMethod selection, constraint_list.jl:103-106).
+    import trajopt_tpu as to
+    from trajopt_tpu.models import DoubleIntegrator
+    from trajopt_tpu.solvers import ALTROSolver, SolverOptions
+
+    model = DoubleIntegrator(d=2)
+    n, m, N, tf = 4, 2, 21, 2.0
+    # asymmetric goal/obstacle: a symmetric layout has two mirror optima and
+    # FD rounding can break the tie differently from AD
+    xf = jnp.array([1.0, 0.6, 0.0, 0.0])
+    obj = to.LQRObjective(jnp.ones(n), 0.1 * jnp.ones(m), 10.0 * jnp.ones(n),
+                          xf, N)
+
+    def build(diff):
+        cons = to.ConstraintList(n, m, N)
+        cons.add_constraint(
+            to.CircleConstraint.create(n, [0.5], [0.25], [0.2], m=m),
+            range(1, N - 1), diff_method=diff)
+        cons.add_constraint(to.GoalConstraint.create(xf, m=m), [N - 1])
+        assert cons.diffs == [diff, "ad"]
+        prob = to.Problem(model, obj, jnp.zeros(n), tf, xf=xf,
+                          constraints=cons)
+        return ALTROSolver(prob, SolverOptions()).solve()
+
+    sol_fd = build("fd")
+    sol_ad = build("ad")
+    assert bool(sol_fd.converged)
+    assert np.allclose(sol_fd.us, sol_ad.us, atol=1e-5)
+    with pytest.raises(ValueError):
+        to.ConstraintList(n, m, N).add_constraint(
+            to.GoalConstraint.create(xf, m=m), [N - 1], diff_method="bogus")

@@ -70,6 +70,10 @@ class ConstraintList:
             self.nu = [self.m] * self.N
         self.constraints: List[AbstractConstraint] = []
         self.inds: List[Tuple[int, ...]] = []
+        # Per-constraint derivative method, the reference's ``diffs`` vector
+        # (constraint_list.jl:40-41): "ad" (ForwardAD / analytic UserDefined
+        # overrides) or "fd" (FiniteDifference).
+        self.diffs: List[str] = []
 
     @classmethod
     def from_models(cls, models) -> "ConstraintList":
@@ -81,7 +85,10 @@ class ConstraintList:
         return cls(nx, nu)
 
     # -- construction (constraint_list.jl:103-134) ----------------------------
-    def add_constraint(self, con: AbstractConstraint, inds: KnotIndices, idx: int = None):
+    def add_constraint(self, con: AbstractConstraint, inds: KnotIndices, idx: int = None,
+                       diff_method: str = "ad"):
+        if diff_method not in ("ad", "fd"):
+            raise ValueError(f"unknown diff_method {diff_method!r} (use 'ad' or 'fd')")
         inds = _normalize_inds(inds, self.N)
         for k in inds:
             n = getattr(con, "n", self.nx[k])
@@ -101,9 +108,11 @@ class ConstraintList:
         if idx is None:
             self.constraints.append(con)
             self.inds.append(inds)
+            self.diffs.append(diff_method)
         else:
             self.constraints.insert(idx, con)
             self.inds.insert(idx, inds)
+            self.diffs.insert(idx, diff_method)
         return self
 
     # -- iteration / indexing (constraint_list.jl:137-150) --------------------
@@ -140,6 +149,7 @@ class ConstraintList:
         out = ConstraintList(list(self.nx), list(self.nu))
         out.constraints = list(self.constraints)
         out.inds = list(self.inds)
+        out.diffs = list(self.diffs)
         return out
 
     # -- solver view ----------------------------------------------------------

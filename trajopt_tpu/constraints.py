@@ -73,6 +73,32 @@ class AbstractConstraint:
         Ju = jax.jacfwd(self.evaluate, argnums=1)(x, u)
         return jnp.concatenate([Jx, Ju], axis=-1)
 
+    def jacobian_fd(self, x: jax.Array, u: jax.Array, eps: float = None) -> jax.Array:
+        """Central finite-difference Jacobian — the reference's
+        ``DiffMethod = FiniteDifference`` (src/TrajectoryOptimization.jl:23;
+        selected per constraint at constraint_list.jl:103-106, and used as a
+        second derivative oracle in constraint_tests.jl:437-444).
+
+        Vectorized: one vmap over the n+m perturbation basis (2 batched
+        evaluations total), so it stays a fixed-shape TPU kernel like the
+        AD path.  Central differences, eps ~ cbrt(machine eps) by default.
+        """
+        n, m = x.shape[-1], u.shape[-1]
+        dtype = x.dtype
+        if eps is None:
+            eps = float(np.cbrt(np.finfo(np.dtype(x.dtype)).eps))
+        dx = jnp.concatenate([jnp.eye(n, dtype=dtype),
+                              jnp.zeros((m, n), dtype)], axis=0)
+        du = jnp.concatenate([jnp.zeros((n, m), dtype),
+                              jnp.eye(m, dtype=dtype)], axis=0)
+
+        def col(dxi, dui):
+            hi = self.evaluate(x + eps * dxi, u + eps * dui)
+            lo = self.evaluate(x - eps * dxi, u - eps * dui)
+            return (hi - lo) / (2.0 * eps)
+
+        return jax.vmap(col)(dx, du).T  # (p, n+m)
+
     def violation(self, x: jax.Array, u: jax.Array) -> jax.Array:
         return cone_violation(self.sense, self.evaluate(x, u))
 

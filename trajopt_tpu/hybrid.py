@@ -260,12 +260,12 @@ def pad_constraints(cons: ConstraintList, nmax: int, mmax: int) -> ConstraintLis
     generic ``change_dimension`` fallback (IndexedConstraint scatter,
     constraints.jl:934-936)."""
     out = ConstraintList(nmax, mmax, cons.N)
-    for con, inds in cons.blocks():
+    for (con, inds), diff in zip(cons.blocks(), cons.diffs):
         n = getattr(con, "n", nmax)
         m = getattr(con, "m", mmax)
         if (n, m) != (nmax, mmax):
             con = change_dimension(con, nmax, mmax)
-        out.add_constraint(con, inds)
+        out.add_constraint(con, inds, diff_method=diff)
     return out
 
 

@@ -52,6 +52,11 @@ class ConstraintBlock:
 
     con: Any
     inds: Tuple[int, ...] = struct.field(pytree_node=False)
+    # Per-constraint derivative method (constraint_list.jl:40-41,103-106):
+    # "ad" = jacfwd/analytic override (ForwardAD/UserDefined), "fd" =
+    # central finite differences (FiniteDifference).  Static: resolves the
+    # dispatch at trace time.
+    diff_method: str = struct.field(pytree_node=False, default="ad")
 
 
 @struct.dataclass
@@ -117,7 +122,11 @@ def _block_eval(block: ConstraintBlock, xs, us):
 def _block_jac(block: ConstraintBlock, xs, us):
     # full-width (K, p, n+m) rows — narrow state-/control-only Jacobians
     # are zero-padded (constraints.full_width_jacobian)
-    return jax.vmap(lambda x, u: full_width_jacobian(block.con, x, u))(
+    if block.diff_method == "fd":
+        jac = block.con.jacobian_fd  # already full-width
+    else:
+        jac = lambda x, u: full_width_jacobian(block.con, x, u)
+    return jax.vmap(jac)(
         _take_knots(xs, block.inds), _take_knots(us, block.inds))
 
 

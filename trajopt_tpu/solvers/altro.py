@@ -26,8 +26,10 @@ __all__ = ["ALTROSolver", "iLQRSolver", "solve", "solve_problem"]
 
 
 def _problem_blocks(prob: Problem):
-    return tuple(ConstraintBlock(con=c, inds=i)
-                 for i, c in prob.constraints.zip())
+    cl = prob.constraints
+    diffs = list(getattr(cl, "diffs", [])) or ["ad"] * len(cl.constraints)
+    return tuple(ConstraintBlock(con=c, inds=i, diff_method=d)
+                 for (i, c), d in zip(cl.zip(), diffs))
 
 
 def solve_problem(prob: Problem, opts: Optional[SolverOptions] = None,
