@@ -179,3 +179,55 @@ def test_infeasible_start():
     assert bool(sol.converged)
     assert float(sol.max_violation) < 1e-6
     assert float(jnp.max(jnp.abs(sol.xs[-1] - xf))) < 1e-6
+
+
+def _parallel_park_problem():
+    model = DubinsCar()
+    n, m, N, tf = 3, 2, 101, 3.0
+    xf = jnp.array([0.0, 1.5, 0.0])
+    obj = to.LQRObjective(1e-2 * jnp.ones(n), 1e-2 * jnp.ones(m),
+                          100.0 * jnp.ones(n), xf, N)
+    cons = to.ConstraintList(n, m, N)
+    cons.add_constraint(to.BoundConstraint.create(n, m, u_min=-2.0, u_max=2.0),
+                        range(N - 1))
+    cons.add_constraint(
+        to.BoundConstraint.create(n, m, x_min=[-0.25, -0.001, -np.inf],
+                                  x_max=[0.25, 1.501, np.inf]), range(1, N - 1))
+    cons.add_constraint(to.GoalConstraint.create(xf, m=m), N - 1)
+    prob = to.Problem(model, obj, jnp.zeros(3), tf, xf=xf, constraints=cons)
+    prob.initial_controls(jnp.full((N - 1, m), 0.1))
+    return prob, tf, N
+
+
+def test_augmented_lagrangian_solver():
+    """AugmentedLagrangianSolver (docs/old/solvers.md:18): AL-iLQR without
+    the ALTRO extras still solves the parallel park, and forces the
+    infeasible/projected-newton options off even if set."""
+    from trajopt_tpu.solvers import AugmentedLagrangianSolver
+
+    prob, tf, N = _parallel_park_problem()
+    solver = AugmentedLagrangianSolver(
+        prob, SolverOptions(cost_tolerance_intermediate=1e-2,
+                            projected_newton=True, infeasible=True))
+    sol = solver.solve()
+    assert bool(sol.converged)
+    assert solver.max_violation() < 1e-6
+    assert solver.cost() * tf / (N - 1) < 0.0541
+
+
+def test_projected_newton_solver_standalone():
+    """ProjectedNewtonSolver (docs/old/solvers.md:37): polish an
+    externally-produced trajectory to direct-solver feasibility."""
+    from trajopt_tpu.solvers import AugmentedLagrangianSolver, \
+        ProjectedNewtonSolver
+
+    prob, tf, N = _parallel_park_problem()
+    al = AugmentedLagrangianSolver(
+        prob, SolverOptions(cost_tolerance_intermediate=1e-2))
+    sol = al.solve()
+    assert 1e-11 < al.max_violation() < 1e-6  # AL grade, not yet PN grade
+    prob.initial_trajectory(sol.xs, sol.us)
+    pn = ProjectedNewtonSolver(prob, SolverOptions())
+    polished = pn.solve()
+    assert pn.max_violation() < 1e-11  # moi_test.jl:23 feasibility grade
+    assert bool(polished.converged)

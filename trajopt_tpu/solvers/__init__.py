@@ -2,7 +2,8 @@
 from .options import SolverOptions
 from .ilqr import ILQRResult, ilqr_solve
 from .al import ALSolution, ConstraintBlock, SolveStats, al_solve, make_al_functions
-from .altro import ALTROSolver, iLQRSolver, solve, solve_problem
+from .altro import (ALTROSolver, AugmentedLagrangianSolver,
+                    ProjectedNewtonSolver, iLQRSolver, solve, solve_problem)
 from .dircol import DIRCOLOptions, DIRCOLSolver
 
 __all__ = [
@@ -17,6 +18,8 @@ __all__ = [
     "al_solve",
     "make_al_functions",
     "ALTROSolver",
+    "AugmentedLagrangianSolver",
+    "ProjectedNewtonSolver",
     "iLQRSolver",
     "solve",
     "solve_problem",

@@ -177,6 +177,56 @@ class ALTROSolver:
             raise RuntimeError("call solve() first")
 
 
+class AugmentedLagrangianSolver(ALTROSolver):
+    """AL-iLQR without the ALTRO extras (docs/old/solvers.md 'Augmented
+    Lagrangian Solver', AugmentedLagrangianSolver): the outer dual/penalty
+    loop around inner iLQR, with NO infeasible-start slack augmentation and
+    NO projected-Newton polish phase (those two are what promote it to
+    ALTRO, docs/old/solvers.md:25-26)."""
+
+    def solve(self) -> ALSolution:
+        opts = self.opts.replace(infeasible=False, projected_newton=False)
+        self.solution = solve_problem(self.prob, opts)
+        if self.show_summary:
+            self.print_summary()
+        return self.solution
+
+
+class ProjectedNewtonSolver(ALTROSolver):
+    """Standalone projected-Newton solution-polish phase
+    (docs/old/solvers.md 'Projected Newton', ProjectedNewtonSolver):
+    projects the problem's CURRENT trajectory onto {dynamics defects = 0,
+    active constraints = 0} with dense minimum-norm Newton steps.  Normally
+    run as ALTRO phase 2 (opts.projected_newton=True); exposed standalone
+    for polishing an externally-produced (e.g. warm-started or DIRCOL)
+    trajectory."""
+
+    def solve(self) -> ALSolution:
+        from .al import eval_blocks, init_duals, max_violation_blocks
+        from .projection import projected_newton
+
+        prob = self.prob
+        blocks = _problem_blocks(prob)
+        xs, us = prob.xs, prob.us
+        cvals = eval_blocks(blocks, xs, us)
+        duals, penalties = init_duals(blocks, self.opts, xs.dtype)
+        seed = ALSolution(
+            xs=xs, us=us, J=prob.obj.cost(xs, us),
+            max_violation=max_violation_blocks(blocks, cvals),
+            iterations=jnp.zeros((), jnp.int32),
+            outer_iterations=jnp.zeros((), jnp.int32),
+            gradient=jnp.zeros((), xs.dtype),
+            converged=jnp.asarray(True),
+            duals=duals, penalties=penalties, stats=None,
+        )
+        self.solution = projected_newton(
+            prob.model, prob.obj, blocks, prob.x0, seed, prob.times,
+            prob.dts, self.opts)
+        if self.show_summary:
+            self.print_summary()
+        return self.solution
+
+
 class iLQRSolver(ALTROSolver):
     """Unconstrained inner solver exposed standalone (Cartpole.ipynb:
     ``Altro.iLQRSolver(prob, opts)``): ignores the constraint list."""
