@@ -117,7 +117,11 @@ def main():
                     line_search_min_alpha=1e-4,
                     final_polish=False,
                     jacobian_mode=os.environ.get("BENCH_JM", "approx1"),
-                    linearize_dtype=os.environ.get("BENCH_LD", "bfloat16"))
+                    linearize_dtype=os.environ.get("BENCH_LD", "bfloat16"),
+                    # RTI steps steer on violation; J carries the AL cost
+                    # the line search already computed (BENCH_FC=1 restores
+                    # the extra true-objective evaluation).
+                    record_final_cost=bool(int(os.environ.get("BENCH_FC", 0))))
 
     dm, obj, blocks, x0, times, dts, opts_cold, n, m, hover = build(
         B, N, tf, dtype, cold_opts)

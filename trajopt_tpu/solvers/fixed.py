@@ -154,8 +154,9 @@ def al_solve_fixed(
             update_penalties(mus, opts), mus)
         viol_prev = viol
 
+    J_final = obj.cost(xs, us) if opts.record_final_cost else J
     sol = ALSolution(
-        xs=xs, us=us, J=obj.cost(xs, us), max_violation=viol_prev,
+        xs=xs, us=us, J=J_final, max_violation=viol_prev,
         iterations=jnp.asarray(total_iters, jnp.int32),
         outer_iterations=jnp.asarray(len(schedule), jnp.int32),
         gradient=grad,

@@ -89,6 +89,13 @@ class SolverOptions:
     max_cost_value: float = 1e12
     max_state_value: float = 1e12
 
+    # Report the TRUE (un-augmented) objective cost in ALSolution.J from
+    # fixed-schedule steps.  When False, J carries the AL-augmented cost the
+    # line search already computed (equal to the true cost when duals have
+    # converged and violations are ~0) and the step skips one full objective
+    # evaluation — for RTI MPC loops that steer on violation, not cost.
+    record_final_cost: bool = True
+
     # -- stats recording --------------------------------------------------------
     # Record the per-outer-iteration SolveStats history in the solution.
     # Disable when the solution pytree is carried through a jitted loop whose
