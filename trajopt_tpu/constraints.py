@@ -478,8 +478,19 @@ class BoundConstraint(AbstractConstraint):
 
     def evaluate(self, x, u):
         z = jnp.concatenate([x, u])
-        upper = z[np.asarray(self.i_max, dtype=int)] - self.z_max[np.asarray(self.i_max, dtype=int)]
-        lower = self.z_min[np.asarray(self.i_min, dtype=int)] - z[np.asarray(self.i_min, dtype=int)]
+
+        def take(a, inds):
+            # Static slice when the finite-index set is contiguous (e.g.
+            # control-only bounds): XLA gathers with index arrays are slow
+            # on TPU even for constant indices.
+            if list(inds) == list(range(inds[0], inds[-1] + 1)):
+                return a[inds[0]:inds[-1] + 1]
+            return a[np.asarray(inds, dtype=int)]
+
+        upper = take(z, self.i_max) - take(self.z_max, self.i_max) \
+            if self.i_max else jnp.zeros((0,), z.dtype)
+        lower = take(self.z_min, self.i_min) - take(z, self.i_min) \
+            if self.i_min else jnp.zeros((0,), z.dtype)
         return jnp.concatenate([upper, lower]) if self.output_dim else jnp.zeros((0,), z.dtype)
 
     def jacobian(self, x, u):  # analytic +-1 rows (constraints.jl:758-765)

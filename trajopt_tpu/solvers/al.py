@@ -113,6 +113,15 @@ def _add_knots(arr, inds, upd):
     return arr.at[jnp.array(inds)].add(upd)
 
 
+def _add_cols(arr, inds, upd):
+    """arr.at[:, inds].add(upd) — static slice when the (static) column set
+    is contiguous (e.g. control-only bounds in the z=[x;u] layout), else an
+    index-array scatter."""
+    if _contiguous(inds):
+        return arr.at[:, inds[0]:inds[-1] + 1].add(upd)
+    return arr.at[:, jnp.array(inds, dtype=int)].add(upd)
+
+
 def _block_eval(block: ConstraintBlock, xs, us):
     """(K, p) constraint values over the block's knot set."""
     return jax.vmap(block.con.evaluate)(_take_knots(xs, block.inds),
@@ -199,13 +208,11 @@ def make_al_functions(obj: Objective, blocks: Sequence[ConstraintBlock],
                 gz = jnp.zeros((len(inds), n + m_), xs.dtype)
                 hz = jnp.zeros_like(gz)
                 if nu_:
-                    iu_ = jnp.array(con.i_max, dtype=int)
-                    gz = gz.at[:, iu_].add(g_c[:, :nu_])     # J row = +1
-                    hz = hz.at[:, iu_].add(h_c[:, :nu_])
+                    gz = _add_cols(gz, con.i_max, g_c[:, :nu_])   # J row = +1
+                    hz = _add_cols(hz, con.i_max, h_c[:, :nu_])
                 if nl_:
-                    il_ = jnp.array(con.i_min, dtype=int)
-                    gz = gz.at[:, il_].add(-g_c[:, nu_:])    # J row = -1
-                    hz = hz.at[:, il_].add(h_c[:, nu_:])
+                    gz = _add_cols(gz, con.i_min, -g_c[:, nu_:])  # J row = -1
+                    hz = _add_cols(hz, con.i_min, h_c[:, nu_:])
                 gx = _add_knots(gx, inds, gz[:, :n])
                 gu = _add_knots(gu, inds, gz[:, n:])
                 eye_n = jnp.eye(n, dtype=xs.dtype)
