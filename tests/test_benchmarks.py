@@ -49,3 +49,46 @@ def test_error_quadratic_cost():
     gx = jax.grad(lambda x_: cost.stage_cost(x_, u))(x)
     assert np.allclose(e.x, gx, atol=1e-10)
     assert float(cost.stage_cost(x, u)) > 0
+
+
+def test_error_quadratic_addition_and_change_dimension():
+    """lie_costs.jl:242-278: ErrorQuadratic + QuadraticCost folds the plain
+    quadratic in (quaternion row removed for 13-dim Q); change_dimension
+    zero-pads trailing dims and the padded cost evaluates the appended raw
+    states quadratically."""
+    import trajopt_tpu as to
+    from trajopt_tpu.costs import change_dimension
+    from trajopt_tpu.models import Quadrotor
+
+    model = Quadrotor()
+    x_ref = Quadrotor.build_state([1.0, 2.0, 3.0])
+    eq = to.ErrorQuadratic.create(model, jnp.ones(12), 0.1 * jnp.ones(4), x_ref)
+    u = 0.3 * jnp.ones(4)
+    x = Quadrotor.build_state([1.1, 2.0, 3.0], quat=[0.99875, 0.05, 0.0, 0.0])
+
+    # full-dim ctor Q: first quaternion row dropped (lie_costs.jl:226-229)
+    eq13 = to.ErrorQuadratic.create(model, jnp.arange(1.0, 14.0),
+                                    0.1 * jnp.ones(4), x_ref)
+    assert eq13.Qd.shape == (12,)
+    assert np.allclose(eq13.Qd, np.delete(np.arange(1.0, 14.0), 3))
+
+    # addition with a 13-dim diagonal quadratic (rm_quat drops row 7, 1-based)
+    dc = to.DiagonalCost.create(Qd=2.0 * jnp.ones(13), Rd=jnp.ones(4))
+    both = eq + dc
+    assert both.Qd.shape == (12,)
+    expected = float(eq.stage_cost(x, u)) + float(
+        jnp.sum(jnp.delete(2.0 * jnp.ones(13), 6)
+                * eq._err(x) ** 2) * 0.5 + 0.5 * jnp.sum(u * u))
+    assert float(both.stage_cost(x, u)) == pytest.approx(expected, rel=1e-6)
+    # commutes (lie_costs.jl:278)
+    assert float((dc + eq).stage_cost(x, u)) == pytest.approx(expected, rel=1e-6)
+
+    # change_dimension: pad 2 states + 1 control with zero weight
+    big = change_dimension(eq, 15, 5)
+    assert big.n == 15 and big.m == 5
+    xp = jnp.concatenate([x, jnp.array([7.0, -3.0])])
+    up = jnp.concatenate([u, jnp.array([9.0])])
+    assert float(big.stage_cost(xp, up)) == pytest.approx(
+        float(eq.stage_cost(x, u)), rel=1e-6)
+    gx = jax.grad(lambda x_: big.stage_cost(x_, up))(xp)
+    assert np.allclose(big.expansion(xp, up).x, gx, atol=1e-10)

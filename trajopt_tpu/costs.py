@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 __all__ = [
@@ -151,6 +152,8 @@ class QuadraticCost:
         )
 
     def __add__(self, other):  # cost addition (cost_functions.jl:260-270)
+        if isinstance(other, ErrorQuadratic):  # lie_costs.jl:278
+            return other + self
         o = _as_dense(other)
         return QuadraticCost(
             Q=self.Q + o.Q, R=self.R + o.R, H=self.H + o.H,
@@ -226,6 +229,8 @@ class DiagonalCost:
                 Qd=self.Qd + other.Qd, Rd=self.Rd + other.Rd,
                 q=self.q + other.q, r=self.r + other.r, c=self.c + other.c,
             )
+        if isinstance(other, ErrorQuadratic):  # lie_costs.jl:278
+            return other + self
         return _as_dense(self) + other
 
 
@@ -591,23 +596,25 @@ class ErrorQuadratic:
     error-state dimension, R/r the control dimension.
     """
 
-    Qd: jax.Array        # (errstate_dim,)
+    Qd: jax.Array        # (errstate_dim [+ padded dims],)
     Rd: jax.Array        # (m,)
     r: jax.Array         # (m,)
     c: jax.Array         # scalar
-    x_ref: jax.Array     # (n,)
+    x_ref: jax.Array     # (n0,) — the model's native state dim
     model: Optional[object] = struct.field(pytree_node=False, default=None)
+    nx: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def n(self) -> int:
-        return self.x_ref.shape[-1]
+        return self.nx if self.nx is not None else self.x_ref.shape[-1]
 
     @property
     def m(self) -> int:
         return self.Rd.shape[-1]
 
     @classmethod
-    def create(cls, model, Q, R, x_ref, u_ref=None, r=None, c=0.0, dtype=None):
+    def create(cls, model, Q, R, x_ref, u_ref=None, r=None, c=0.0, dtype=None,
+               q_ind=(3, 4, 5, 6)):
         Qd = jnp.asarray(Q, dtype=dtype)
         Rd = jnp.asarray(R, dtype=dtype)
         if Qd.ndim == 2:
@@ -615,6 +622,12 @@ class ErrorQuadratic:
         if Rd.ndim == 2:
             Rd = jnp.diag(Rd)
         x_ref = jnp.asarray(x_ref, Qd.dtype)
+        # Full-state-dim Q given for a quaternion state: drop the first
+        # quaternion row to land in the errstate dim (lie_costs.jl:226-229).
+        nerr = getattr(model, "errstate_dim", None)
+        if (nerr is not None and Qd.shape[-1] == x_ref.shape[-1]
+                and nerr == x_ref.shape[-1] - 1):
+            Qd = jnp.delete(Qd, q_ind[0])
         m = Rd.shape[-1]
         r = jnp.zeros((m,), Qd.dtype) if r is None else jnp.asarray(r, Qd.dtype)
         c = jnp.asarray(c, Qd.dtype)
@@ -624,13 +637,22 @@ class ErrorQuadratic:
             c = c + 0.5 * jnp.sum(Rd * u_ref * u_ref)
         return cls(Qd=Qd, Rd=Rd, r=r, c=c, x_ref=x_ref, model=model)
 
+    def _err(self, x):
+        # After change_dimension the state may carry appended quaternion-free
+        # dims (lie_costs.jl:242-261): error = [state_diff(x0, x_ref); extra].
+        n0 = self.x_ref.shape[-1]
+        dx = self.model.state_diff(x[..., :n0], self.x_ref)
+        if x.shape[-1] > n0:
+            dx = jnp.concatenate([dx, x[..., n0:]], axis=-1)
+        return dx
+
     def stage_cost(self, x, u):
-        dx = self.model.state_diff(x, self.x_ref)
+        dx = self._err(x)
         J = 0.5 * jnp.sum(self.Qd * dx * dx) + self.c
         return J + 0.5 * jnp.sum(self.Rd * u * u) + self.r @ u
 
     def term_cost(self, x):
-        dx = self.model.state_diff(x, self.x_ref)
+        dx = self._err(x)
         return 0.5 * jnp.sum(self.Qd * dx * dx) + self.c
 
     def expansion(self, x, u) -> CostExpansion:
@@ -653,45 +675,39 @@ class ErrorQuadratic:
             x=gx, u=jnp.zeros((m,), x.dtype), c=f(x),
         )
 
+    def __add__(self, other):
+        """Fold a plain quadratic into the error-state cost
+        (lie_costs.jl:263-278).  Requires H = 0 and q = 0 in the quadratic;
+        a full-quaternion-state diagonal Q has its last quaternion row
+        removed to land in the errstate dimension."""
+        if isinstance(other, ErrorQuadratic):
+            if other.n != self.n or other.m != self.m:
+                raise ValueError("ErrorQuadratic addition: dims must match")
+            return ErrorQuadratic(
+                Qd=self.Qd + other.Qd, Rd=self.Rd + other.Rd,
+                r=self.r + other.r, c=self.c + other.c,
+                x_ref=self.x_ref, model=self.model, nx=self.nx)
+        if not isinstance(other, (DiagonalCost, QuadraticCost)):
+            return NotImplemented
+        if other.m != self.m:
+            raise ValueError("ErrorQuadratic addition: control dims must match")
+        Q2 = jnp.diag(other.Q) if isinstance(other, QuadraticCost) else other.Qd
+        R2 = jnp.diag(other.R) if isinstance(other, QuadraticCost) else other.Rd
+        if isinstance(other, QuadraticCost) and bool(np.any(np.asarray(other.H))):
+            raise ValueError("ErrorQuadratic addition requires H = 0")
+        if bool(np.any(np.asarray(other.q))):
+            raise ValueError("ErrorQuadratic addition requires q = 0")
+        if other.n == self.Qd.shape[-1] + 1:
+            # drop the last quaternion row (lie_costs.jl:267-269 rm_quat)
+            Q2 = jnp.delete(Q2, 6)
+        elif other.n != self.Qd.shape[-1]:
+            raise ValueError("ErrorQuadratic addition: state dims must match")
+        return ErrorQuadratic(
+            Qd=self.Qd + Q2, Rd=self.Rd + R2, r=self.r + other.r,
+            c=self.c + other.c, x_ref=self.x_ref, model=self.model,
+            nx=self.nx)
 
-def change_dimension(cost, n: int, m: int, ix=None, iu=None):
-    """Embed a cost into a larger state/control space (the reference's
-    ``change_dimension``, cost_functions.jl:391-401, lie_costs.jl:144-156),
-    zero-padding the new dimensions.  ``ix``/``iu`` give the indices of the
-    old dims inside the new space (defaults: leading block)."""
-    import numpy as _np
-
-    ix = tuple(range(cost.n)) if ix is None else tuple(int(i) for i in ix)
-    iu = tuple(range(cost.m)) if iu is None else tuple(int(i) for i in iu)
-    ixa, iua = jnp.array(ix), jnp.array(iu)
-    if isinstance(cost, DiagonalCost):
-        return DiagonalCost(
-            Qd=jnp.zeros(n, cost.Qd.dtype).at[ixa].set(cost.Qd),
-            Rd=jnp.zeros(m, cost.Rd.dtype).at[iua].set(cost.Rd),
-            q=jnp.zeros(n, cost.q.dtype).at[ixa].set(cost.q),
-            r=jnp.zeros(m, cost.r.dtype).at[iua].set(cost.r),
-            c=cost.c,
-        )
-    if isinstance(cost, QuadraticCost):
-        Q = jnp.zeros((n, n), cost.Q.dtype).at[jnp.ix_(ixa, ixa)].set(cost.Q)
-        R = jnp.zeros((m, m), cost.R.dtype).at[jnp.ix_(iua, iua)].set(cost.R)
-        H = jnp.zeros((m, n), cost.H.dtype).at[jnp.ix_(iua, ixa)].set(cost.H)
-        return QuadraticCost(
-            Q=Q, R=R, H=H,
-            q=jnp.zeros(n, cost.q.dtype).at[ixa].set(cost.q),
-            r=jnp.zeros(m, cost.r.dtype).at[iua].set(cost.r),
-            c=cost.c,
-        )
-    if isinstance(cost, DiagonalQuatCost):
-        q_ind = tuple(ix[i] for i in cost.q_ind)
-        return DiagonalQuatCost(
-            Qd=jnp.zeros(n, cost.Qd.dtype).at[ixa].set(cost.Qd),
-            Rd=jnp.zeros(m, cost.Rd.dtype).at[iua].set(cost.Rd),
-            q=jnp.zeros(n, cost.q.dtype).at[ixa].set(cost.q),
-            r=jnp.zeros(m, cost.r.dtype).at[iua].set(cost.r),
-            c=cost.c, w=cost.w, q_ref=cost.q_ref, q_ind=q_ind,
-        )
-    raise TypeError(f"change_dimension: unsupported cost {type(cost)}")
+    __radd__ = __add__
 
 
 def change_dimension(cost, n: int, m: int, ix=None, iu=None):
@@ -737,4 +753,17 @@ def change_dimension(cost, n: int, m: int, ix=None, iu=None):
             r=jnp.zeros(m, cost.r.dtype).at[ju].set(cost.r) if m else cost.r[:0],
             c=cost.c, w=cost.w, q_ref=cost.q_ref, q_ind=q_ind,
         )
+    if isinstance(cost, ErrorQuadratic):
+        # lie_costs.jl:242-261: zero-pad the NEW trailing dims (the added
+        # states are assumed quaternion-free), keep the error-state block.
+        n0 = cost.n
+        nerr = cost.Qd.shape[-1]
+        dn, dm = n - n0, m - cost.m
+        if dn < 0 or dm < 0:
+            raise ValueError("change_dimension: can only grow dims")
+        return ErrorQuadratic(
+            Qd=jnp.concatenate([cost.Qd, jnp.zeros(dn, cost.Qd.dtype)]),
+            Rd=jnp.concatenate([cost.Rd, jnp.zeros(dm, cost.Rd.dtype)]),
+            r=jnp.concatenate([cost.r, jnp.zeros(dm, cost.r.dtype)]),
+            c=cost.c, x_ref=cost.x_ref, model=cost.model, nx=n)
     raise TypeError(f"change_dimension: unsupported cost type {type(cost).__name__}")
