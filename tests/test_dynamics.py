@@ -164,3 +164,20 @@ def test_linearize_approx_modes(rng):
     assert A16.dtype == xs.dtype
     assert float(jnp.max(jnp.abs(A16 - A32))) < 0.05
     assert float(jnp.max(jnp.abs(B16 - B32))) < 0.05
+
+
+def test_passive_state_columns(rng):
+    """Model.n_passive declares leading states the dynamics is independent
+    of; df/dx must be exactly zero there (the linearizer skips those jacfwd
+    tangents, solvers/ilqr.py _linearize_knots)."""
+    from trajopt_tpu.models import (Cartpole, DoubleIntegrator, DubinsCar,
+                                    Quadrotor, Rocket)
+
+    for model in (Quadrotor(), Cartpole(), DubinsCar(), Rocket(),
+                  DoubleIntegrator(d=3)):
+        npas = int(model.n_passive)
+        assert npas > 0, type(model).__name__
+        x = jnp.asarray(rng.standard_normal(model.n))
+        u = jnp.asarray(rng.standard_normal(model.m))
+        Af = jax.jacfwd(model.dynamics, argnums=0)(x, u, 0.0)
+        assert np.allclose(Af[:, :npas], 0.0, atol=0.0), type(model).__name__

@@ -42,6 +42,13 @@ class Model:
     dataclass fields in subclasses.
     """
 
+    #: Number of LEADING state entries the continuous dynamics does not
+    #: depend on (cyclic/passive coordinates: positions of a quadrotor or
+    #: rocket, the x,y of a Dubins car, the cart position).  df/dx has
+    #: exactly-zero columns there, so batched linearization can skip those
+    #: jacfwd tangents — the hottest stage of the RTI MPC step.
+    n_passive = 0
+
     def dynamics(self, x: jax.Array, u: jax.Array, t) -> jax.Array:
         raise NotImplementedError
 

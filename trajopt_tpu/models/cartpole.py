@@ -23,6 +23,7 @@ class Cartpole(Model):
 
     n = 4
     m = 1
+    n_passive = 1  # cart position does not enter the dynamics
 
     def dynamics(self, x, u, t):
         mc, mp, l, g = self.mc, self.mp, self.l, self.g

@@ -22,6 +22,10 @@ class DoubleIntegrator(Model):
     def m(self) -> int:
         return self.d
 
+    @property
+    def n_passive(self) -> int:
+        return self.d  # positions do not enter the dynamics
+
     def dynamics(self, x, u, t):
         v = x[self.d:]
         a = u / self.mass

@@ -16,6 +16,7 @@ class DubinsCar(Model):
 
     n = 3
     m = 2
+    n_passive = 2  # x, y are cyclic; only theta enters the dynamics
 
     def dynamics(self, x, u, t):
         theta = x[2]

@@ -28,6 +28,7 @@ class Quadrotor(Model):
 
     n = 13
     m = 4
+    n_passive = 3  # world position does not enter the dynamics
 
     @property
     def errstate_dim(self) -> int:

@@ -24,6 +24,7 @@ class Rocket(Model):
 
     n = 6
     m = 3
+    n_passive = 3  # position does not enter the dynamics
 
     def dynamics(self, x, u, t):
         v = x[3:6]

@@ -90,7 +90,20 @@ def _linearize_knots(model: DiscreteModel, xk, uk, tk, dtk,
             # (tangent intermediates), and RTI MPC tolerates ~3-digit
             # Jacobians (the forward rollout stays exact f32).
             xl, ul = xl.astype(jnp.bfloat16), ul.astype(jnp.bfloat16)
-        Af = jax.vmap(jax.jacfwd(f, argnums=0))(xl, ul, tk)
+        npas = int(getattr(model.model, "n_passive", 0) or 0)
+        if npas:
+            # The leading npas state columns of df/dx are exactly zero
+            # (Model.n_passive): push tangents only through the active tail
+            # and assemble the zero block with a static concat (no scatter).
+            def f_tail(xt, xh, u_, t_):
+                return f(jnp.concatenate([xh, xt]), u_, t_)
+            Af_t = jax.vmap(jax.jacfwd(f_tail, argnums=0))(
+                xl[:, npas:], xl[:, :npas], ul, tk)
+            Af = jnp.concatenate(
+                [jnp.zeros(Af_t.shape[:-1] + (npas,), Af_t.dtype), Af_t],
+                axis=-1)
+        else:
+            Af = jax.vmap(jax.jacfwd(f, argnums=0))(xl, ul, tk)
         Bf = jax.vmap(jax.jacfwd(f, argnums=1))(xl, ul, tk)
         Af, Bf = Af.astype(dtype), Bf.astype(dtype)
         dt_ = dtk[:, None, None]
