@@ -163,6 +163,52 @@ def test_cost_change_dimension():
         float(big.stage_cost(Xq, Uq)))
 
 
+def test_error_quadratic_addition_guards(rng):
+    """ADVICE r1: EQ+EQ must validate x_ref/model; change_dimension must
+    reject non-leading ix/iu rather than silently ignore them; q_ind is
+    stored and drives the quadratic-addition row drop."""
+    from trajopt_tpu.costs import ErrorQuadratic, change_dimension
+    from trajopt_tpu.models import Quadrotor
+
+    model = Quadrotor()
+    x_ref = np.asarray(Quadrotor.build_state([1.0, 2.0, 3.0]))
+    eq = ErrorQuadratic.create(model, np.ones(12), 0.1 * np.ones(4), x_ref)
+    assert eq.q_ind == (3, 4, 5, 6)
+
+    # same-reference EQ+EQ sums coefficients
+    both = eq + eq
+    x = np.asarray(Quadrotor.build_state([1.1, 2.0, 2.9]))
+    u = jnp.asarray(rng.standard_normal(4))
+    assert float(both.stage_cost(jnp.asarray(x), u)) == pytest.approx(
+        2 * float(eq.stage_cost(jnp.asarray(x), u)), rel=1e-6)
+
+    # different-reference EQ+EQ must raise (host-side x_ref)
+    x_ref2 = np.asarray(Quadrotor.build_state([9.0, 9.0, 9.0]))
+    eq2 = ErrorQuadratic.create(model, np.ones(12), 0.1 * np.ones(4), x_ref2)
+    with pytest.raises(ValueError):
+        eq + eq2
+
+    # different model must raise (equal-parameter models are fine)
+    eq3 = ErrorQuadratic.create(Quadrotor(mass=0.7), np.ones(12),
+                                0.1 * np.ones(4), x_ref)
+    with pytest.raises(ValueError):
+        eq + eq3
+
+    # change_dimension: leading-block growth works, non-leading ix raises
+    grown = change_dimension(eq, 15, 5)
+    X = jnp.concatenate([jnp.asarray(x), jnp.zeros(2)])
+    U = jnp.concatenate([u, jnp.zeros(1)])
+    assert float(grown.stage_cost(X, U)) == pytest.approx(
+        float(eq.stage_cost(jnp.asarray(x), u)), rel=1e-6)
+    with pytest.raises(ValueError):
+        change_dimension(eq, 15, 5, ix=list(range(2, 15)))
+
+    # quadratic addition with q != 0 must raise (host-side coefficients)
+    bad = DiagonalCost.create(np.ones(13), np.ones(4), q=np.ones(13))
+    with pytest.raises(ValueError):
+        eq + bad
+
+
 def test_diagonal_lie_cost_ctor_paths(rng):
     """Constructor semantics from the legacy quatcosts.jl:17-48."""
     from trajopt_tpu.costs import DiagonalLieCost

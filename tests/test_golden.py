@@ -25,14 +25,13 @@ CONFIGS = {
     "dubins_parallel_park": (benchmarks.dubins_parallel_park,
                              SolverOptions(cost_tolerance_intermediate=1e-2)),
     "quickstart": (benchmarks.quickstart_problem, SolverOptions()),
-    # jacobian_mode="chain" pins the analytic chain-rule linearization the
-    # golden was recorded with: jacfwd's machine-precision-different
-    # Jacobians steer this nonconvex quaternion problem to a nearby (~4e-4
-    # relative cost) local optimum, which the 1e-4 u-parity gate rejects.
+    # Default solver modes (jacfwd linearization, error_state on for the
+    # quaternion model — Altro's RigidBody behavior); the penalty options
+    # mirror the reference's own example (Quadrotor.ipynb:
+    # penalty_scaling=100, penalty_initial=0.1).
     "quadrotor_zigzag": (benchmarks.quadrotor_zigzag,
                          SolverOptions(penalty_scaling=100.0,
-                                       penalty_initial=0.1,
-                                       jacobian_mode="chain")),
+                                       penalty_initial=0.1)),
     "rocket": (benchmarks.rocket_landing, SolverOptions()),
 }
 

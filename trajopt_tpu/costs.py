@@ -19,7 +19,7 @@ with the control terms dropped at the terminal knot (cost_functions.jl:92).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,13 +49,13 @@ def _warn_not_psd(name: str, M) -> None:
     import warnings
 
     try:
-        arr = __import__("numpy").asarray(M)
+        arr = np.asarray(M)
     except Exception:
         return  # traced value: skip
     if arr.ndim == 1:
         bad = (arr < 0).any()
     else:
-        bad = (__import__("numpy").linalg.eigvalsh((arr + arr.T) / 2) < -1e-10).any()
+        bad = (np.linalg.eigvalsh((arr + arr.T) / 2) < -1e-10).any()
     if bad:
         warnings.warn(f"{name} is not positive semidefinite", stacklevel=3)
 
@@ -79,6 +79,31 @@ class CostExpansion:
 
 def _sym(M):
     return 0.5 * (M + M.T)
+
+
+def _concrete_all_zero(M) -> bool:
+    """True iff ``M`` is a CONCRETE all-zero array.  Traced values return
+    True (validation is skipped under jit, mirroring ``_warn_not_psd``);
+    device arrays are checked via ``np.asarray`` only when already host-side
+    numpy — committed device arrays also skip, so constructor-time checks
+    never force a device->host transfer (the axon slow-mode trigger,
+    CLAUDE.md)."""
+    if isinstance(M, jax.core.Tracer):
+        return True
+    if isinstance(M, jax.Array):
+        try:
+            accel = any(d.platform != "cpu" for d in M.devices())
+        except Exception:
+            accel = True
+        if accel:
+            # accelerator-resident: np.asarray would be a D2H transfer —
+            # skip rather than trigger the permanent axon slow mode
+            return True
+    try:
+        arr = np.asarray(M)
+    except Exception:
+        return True
+    return not arr.any()
 
 
 @struct.dataclass
@@ -603,6 +628,11 @@ class ErrorQuadratic:
     x_ref: jax.Array     # (n0,) — the model's native state dim
     model: Optional[object] = struct.field(pytree_node=False, default=None)
     nx: Optional[int] = struct.field(pytree_node=False, default=None)
+    # Quaternion rows of the native state (lie_costs.jl:186 q_ind): drives
+    # which Q row the ctor reduction drops (first) and which row quadratic
+    # addition drops (last, lie_costs.jl:267-269 rm_quat).
+    q_ind: Tuple[int, ...] = struct.field(pytree_node=False,
+                                          default=(3, 4, 5, 6))
 
     @property
     def n(self) -> int:
@@ -635,7 +665,8 @@ class ErrorQuadratic:
             u_ref = jnp.asarray(u_ref, Qd.dtype)
             r = r - Rd * u_ref
             c = c + 0.5 * jnp.sum(Rd * u_ref * u_ref)
-        return cls(Qd=Qd, Rd=Rd, r=r, c=c, x_ref=x_ref, model=model)
+        return cls(Qd=Qd, Rd=Rd, r=r, c=c, x_ref=x_ref, model=model,
+                   q_ind=tuple(int(i) for i in q_ind))
 
     def _err(self, x):
         # After change_dimension the state may carry appended quaternion-free
@@ -683,29 +714,46 @@ class ErrorQuadratic:
         if isinstance(other, ErrorQuadratic):
             if other.n != self.n or other.m != self.m:
                 raise ValueError("ErrorQuadratic addition: dims must match")
+            models_match = other.model is self.model
+            if not models_match:
+                try:
+                    models_match = bool(other.model == self.model)
+                except Exception:
+                    models_match = False
+            if not models_match:
+                raise ValueError(
+                    "ErrorQuadratic + ErrorQuadratic requires the same model "
+                    "(the sum is only a single error quadratic about one "
+                    "reference; the reference library does not define it)")
+            if not _concrete_all_zero(self.x_ref - other.x_ref):
+                raise ValueError(
+                    "ErrorQuadratic + ErrorQuadratic requires equal x_ref: "
+                    "summing costs about different references is not an "
+                    "ErrorQuadratic about either")
             return ErrorQuadratic(
                 Qd=self.Qd + other.Qd, Rd=self.Rd + other.Rd,
                 r=self.r + other.r, c=self.c + other.c,
-                x_ref=self.x_ref, model=self.model, nx=self.nx)
+                x_ref=self.x_ref, model=self.model, nx=self.nx,
+                q_ind=self.q_ind)
         if not isinstance(other, (DiagonalCost, QuadraticCost)):
             return NotImplemented
         if other.m != self.m:
             raise ValueError("ErrorQuadratic addition: control dims must match")
         Q2 = jnp.diag(other.Q) if isinstance(other, QuadraticCost) else other.Qd
         R2 = jnp.diag(other.R) if isinstance(other, QuadraticCost) else other.Rd
-        if isinstance(other, QuadraticCost) and bool(np.any(np.asarray(other.H))):
+        if isinstance(other, QuadraticCost) and not _concrete_all_zero(other.H):
             raise ValueError("ErrorQuadratic addition requires H = 0")
-        if bool(np.any(np.asarray(other.q))):
+        if not _concrete_all_zero(other.q):
             raise ValueError("ErrorQuadratic addition requires q = 0")
         if other.n == self.Qd.shape[-1] + 1:
             # drop the last quaternion row (lie_costs.jl:267-269 rm_quat)
-            Q2 = jnp.delete(Q2, 6)
+            Q2 = jnp.delete(Q2, self.q_ind[-1])
         elif other.n != self.Qd.shape[-1]:
             raise ValueError("ErrorQuadratic addition: state dims must match")
         return ErrorQuadratic(
             Qd=self.Qd + Q2, Rd=self.Rd + R2, r=self.r + other.r,
             c=self.c + other.c, x_ref=self.x_ref, model=self.model,
-            nx=self.nx)
+            nx=self.nx, q_ind=self.q_ind)
 
     __radd__ = __add__
 
@@ -756,6 +804,14 @@ def change_dimension(cost, n: int, m: int, ix=None, iu=None):
     if isinstance(cost, ErrorQuadratic):
         # lie_costs.jl:242-261: zero-pad the NEW trailing dims (the added
         # states are assumed quaternion-free), keep the error-state block.
+        # Only the default leading-block embedding is defined — the
+        # reference's ErrorQuadratic change_dimension has no ix/iu form
+        # either (lie_costs.jl:242), and silently ignoring the indices
+        # would mis-place the cost.
+        if ix != tuple(range(cost.n)) or iu != tuple(range(cost.m)):
+            raise ValueError(
+                "change_dimension(ErrorQuadratic): only the leading-block "
+                "embedding (default ix/iu) is supported")
         n0 = cost.n
         nerr = cost.Qd.shape[-1]
         dn, dm = n - n0, m - cost.m

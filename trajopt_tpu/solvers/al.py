@@ -427,12 +427,17 @@ def al_solve(
     us_f = jnp.where(keep, res.us, out.us)
     viol_f = jnp.where(keep, viol_p, out.viol)
     grad_f = jnp.where(keep, res.gradient, out.grad)
+    # The polish IS one more inner solve at the tight tolerance (Altro's
+    # final AL solve): a scenario it lands inside tolerance counts as
+    # converged even if the outer loop's own budget expired first.
+    conv_f = (out.converged | (keep & ~res.failed)) & (
+        viol_f < opts.constraint_tolerance)
     return ALSolution(
         xs=xs_f, us=us_f, J=obj.cost(xs_f, us_f),
         max_violation=viol_f,
         iterations=out.inner_iters + res.iterations,
         outer_iterations=out.outer,
         gradient=grad_f,
-        converged=out.converged & (viol_f < opts.constraint_tolerance),
+        converged=conv_f,
         duals=out.lams, penalties=out.mus, stats=out.stats,
     )

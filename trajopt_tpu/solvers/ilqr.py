@@ -350,8 +350,9 @@ def ilqr_solve(
         xs_n = jnp.where(bp.fail, s.xs, xs_n)
         us_n = jnp.where(bp.fail, s.us, us_n)
         J_n = jnp.where(bp.fail, s.J, J_n)
-        # Altro's gradient metric: mean over knots of max_i |d_i|/(|u_i|+1).
-        grad = jnp.mean(jnp.max(jnp.abs(bp.d) / (jnp.abs(s.us[:-1]) + 1), axis=-1))
+        # Altro's gradient metric: mean over knots of max_i |d_i|/(|u_i|+1),
+        # measured against the controls the step actually produced.
+        grad = jnp.mean(jnp.max(jnp.abs(bp.d) / (jnp.abs(us_n[:-1]) + 1), axis=-1))
         dJ = s.J - J_n
         expected = -(bp.dV1 + bp.dV2)  # predicted decrease at alpha = 1
         # Termination (Altro's evaluate_convergence): accepted step with BOTH

@@ -117,10 +117,9 @@ class SolverOptions:
     # When True and the model defines a reduced error state (e.g. quaternion
     # models, errstate_dim < n), the Riccati pass runs in tangent-space
     # coordinates (abstract_constraint.jl:282-303 applied to the full
-    # expansion).  Raw-state expansions are the default: with normalized
-    # quaternion dynamics they converge at least as fast on the benchmark
-    # problems and keep the compiled program simpler.
-    error_state: bool = False
+    # expansion) — Altro's default behavior for RigidBody models.  Models
+    # with errstate_dim == n are unaffected.
+    error_state: bool = True
 
     # -- projected-Newton solution polish (ALTRO phase 2) --------------------
     projected_newton: bool = False

@@ -2,17 +2,25 @@
 
 The reference's solver stack finishes with a projected-Newton phase that
 polishes the AL solution to tight feasibility (docs/old/solvers.md: "ALTRO";
-SURVEY.md §3.5).  This is the TPU-native version: the trajectory is one flat
-vector z = [x_1..x_{N-1}, u_0..u_{N-2}] (x_0 pinned), the active-constraint
-and dynamics-defect Jacobian D is built DENSE from the already-vmapped block
-Jacobians — a (P, Z) matrix whose normal equations D D^T are one big MXU
-Cholesky — and each Newton step is the minimum-norm correction
+SURVEY.md §3.5).  TPU-native design: the active-constraint/defect system is
+never materialized dense.  Rows are grouped by knot — group k holds the
+dynamics defect for interval k plus the active stage-constraint rows at knot
+k — so each group touches only the two adjacent variable blocks
+w_{k-1} = (u_{k-1}, x_k) and w_k = (u_k, x_{k+1}) (x_0 is pinned).  The
+normal-equations matrix D D^T is therefore block TRIDIAGONAL in (q, q)
+knot blocks (q = n + total stage rows), and the minimum-norm Newton step
 
     dz = -D^T (D D^T + eps I)^(-1) r
 
-iterated a fixed small number of times (nonlinear constraints re-linearized
-each pass).  Equality and inequality (active-set) rows participate; SOC
-feasibility is already enforced to AL tolerance and its rows are skipped.
+is computed with a block-tridiagonal Cholesky: three O(N) ``lax.scan``s
+(factor, forward, backward) over (q, q) blocks instead of one dense
+O((N q)^3) factorization — the same sequential-over-knots, batched-over-
+scenarios shape as the Riccati recursion, with O(1) trace size (the r1
+version assembled the dense Jacobian with N unrolled scatter loops;
+VERDICT r1 #6).
+
+Equality and inequality (active-set) rows participate; SOC feasibility is
+already enforced to AL tolerance and its rows are skipped.
 """
 from __future__ import annotations
 
@@ -25,24 +33,30 @@ from ..cones import Cone
 from ..constraints import full_width_jacobian
 from ..dynamics import DiscreteModel
 from ..objective import Objective
-from .al import ALSolution, ConstraintBlock, eval_blocks, max_violation_blocks
+from .al import (ALSolution, ConstraintBlock, _take_knots, eval_blocks,
+                 max_violation_blocks)
 from .options import SolverOptions
 
 __all__ = ["projected_newton"]
 
 
-def _flatten(xs, us):
-    # z = [x_1..x_{N-1}; u_0..u_{N-2}] — x_0 is fixed, terminal u unused.
-    return jnp.concatenate([xs[1:].reshape(-1), us[:-1].reshape(-1)])
+def _set_knots(arr, inds, upd):
+    """arr.at[inds].set(upd) with a static dense slice for contiguous knot
+    sets (XLA scatters are slow on TPU; al.py `_add_knots`)."""
+    inds = list(inds)
+    if inds == list(range(inds[0], inds[-1] + 1)):
+        return arr.at[inds[0]:inds[-1] + 1].set(upd)
+    return arr.at[jnp.array(inds)].set(upd)
 
 
-def _unflatten(z, xs, us):
-    N, n = xs.shape
-    m = us.shape[-1]
-    nx = (N - 1) * n
-    xs_n = jnp.concatenate([xs[:1], z[:nx].reshape(N - 1, n)], axis=0)
-    us_n = jnp.concatenate([z[nx:].reshape(N - 1, m), us[-1:]], axis=0)
-    return xs_n, us_n
+def _tri_solve(L, b):
+    """Solve L y = b (lower triangular); b is (q,) or (q, k)."""
+    return jax.scipy.linalg.solve_triangular(L, b, lower=True)
+
+
+def _tri_solve_t(L, b):
+    """Solve L^T y = b."""
+    return jax.scipy.linalg.solve_triangular(L, b, lower=True, trans=1)
 
 
 def projected_newton(
@@ -58,74 +72,126 @@ def projected_newton(
     active_tol: float = 1e-3,
     reg: float = 1e-10,
 ) -> ALSolution:
-    """Polish ``sol`` to tight feasibility with dense minimum-norm Newton
+    """Polish ``sol`` to tight feasibility with minimum-norm Newton
     projections onto {dynamics defects = 0, active constraints = 0}."""
     N, n = sol.xs.shape
     m = sol.us.shape[-1]
-    Z = (N - 1) * (n + m)
+    dtype = sol.xs.dtype
+    stage = [b for b in blocks if b.con.sense is not Cone.SECOND_ORDER]
+    # static row offset of each block inside the stage-row slab
+    offs, P = [], 0
+    for b in stage:
+        offs.append(P)
+        P += b.con.output_dim
+    q = n + P           # rows per knot group (defect block + stage slab)
+    w = m + n           # variable block w_k = (u_k, x_{k+1})
 
-    def x_index(k):  # position of x_k in z (k >= 1)
-        return (k - 1) * n
+    def build_system(xs, us):
+        """E (N, q, w), F (N, q, w), r (N, q): group k's coefficients on
+        w_{k-1} and w_k and its residual, with inactive rows zeroed."""
+        A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1],
+                                        dts[:-1])
+        defects = jax.vmap(model.step)(xs[:-1], us[:-1], times[:-1],
+                                       dts[:-1]) - xs[1:]
 
-    def u_index(k):
-        return (N - 1) * n + k * m
+        E = jnp.zeros((N, q, w), dtype)
+        F = jnp.zeros((N, q, w), dtype)
+        r = jnp.zeros((N, q), dtype)
+        live = jnp.zeros((N, q), bool)   # structurally-present rows
 
-    def residual_and_jac(xs, us):
-        rows = []
-        # dynamics defects: f(x_k, u_k) - x_{k+1} = 0, k = 0..N-2
-        A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1], dts[:-1])
-        defects = jax.vmap(model.step)(xs[:-1], us[:-1], times[:-1], dts[:-1]) - xs[1:]
-        D_dyn = jnp.zeros((N - 1, n, Z), xs.dtype)
-        for k in range(N - 1):
-            if k >= 1:
-                D_dyn = D_dyn.at[k, :, x_index(k):x_index(k) + n].set(A[k])
-            D_dyn = D_dyn.at[k, :, u_index(k):u_index(k) + m].set(B[k])
-            D_dyn = D_dyn.at[k, :, x_index(k + 1):x_index(k + 1) + n].set(
-                -jnp.eye(n, dtype=xs.dtype))
-        rows.append((defects.reshape(-1), D_dyn.reshape(-1, Z),
-                     jnp.ones((N - 1) * n, dtype=bool)))
+        # defect rows [0:n): E_k = [0 | A_k] (1 <= k <= N-2), F_k = [B_k | -I]
+        E = E.at[1:N - 1, :n, m:].set(A[1:])
+        F = F.at[:-1, :n, :m].set(B)
+        eye_n = jnp.eye(n, dtype=dtype)
+        F = F.at[:-1, :n, m:].set(-jnp.broadcast_to(eye_n, (N - 1, n, n)))
+        r = r.at[:-1, :n].set(defects)
+        live = live.at[:-1, :n].set(True)
 
-        for block in blocks:
-            sense = block.con.sense
-            if sense is Cone.SECOND_ORDER:
-                continue  # handled by the AL phase
-            idx = jnp.array(block.inds)
-            c = jax.vmap(block.con.evaluate)(xs[idx], us[idx])      # (K, p)
-            Jc = jax.vmap(lambda x, u: full_width_jacobian(block.con, x, u))(
-                xs[idx], us[idx])                                   # (K, p, n+m)
-            K_, p = c.shape
-            D_blk = jnp.zeros((K_, p, Z), xs.dtype)
-            for i, k in enumerate(block.inds):
-                if k >= 1:
-                    D_blk = D_blk.at[i, :, x_index(k):x_index(k) + n].set(Jc[i, :, :n])
-                if k < N - 1:
-                    D_blk = D_blk.at[i, :, u_index(k):u_index(k) + m].set(Jc[i, :, n:])
-            if sense is Cone.ZERO:
-                act = jnp.ones_like(c, dtype=bool)
+        # stage rows: block b occupies rows [n+off : n+off+p) at its knots
+        for b, off in zip(stage, offs):
+            p = b.con.output_dim
+            ks = b.inds
+            c = jax.vmap(b.con.evaluate)(_take_knots(xs, ks),
+                                         _take_knots(us, ks))      # (K, p)
+            Jc = jax.vmap(lambda x, u: full_width_jacobian(b.con, x, u))(
+                _take_knots(xs, ks), _take_knots(us, ks))          # (K,p,n+m)
+            if b.con.sense is Cone.ZERO:
+                act = jnp.ones_like(c, bool)
             else:
                 # NegativeOrthant: only VIOLATED rows enter; a feasible
                 # near-boundary row must not be pulled onto the boundary.
                 act = c > 0
-            rows.append((c.reshape(-1), D_blk.reshape(-1, Z), act.reshape(-1)))
+            sl = slice(n + off, n + off + p)
+            # x-part lands in E (zero where knot 0: x_0 pinned)
+            Ex = Jc[:, :, :n]
+            if ks[0] == 0:
+                Ex = Ex.at[0].set(0.0)
+            E = E.at[:, sl, m:].set(
+                _set_knots(jnp.zeros((N, p, n), dtype), b.inds, Ex))
+            # u-part lands in F (zero at the terminal knot: no u there)
+            Ju = Jc[:, :, n:]
+            if ks[-1] == N - 1:
+                Ju = Ju.at[-1].set(0.0)
+            F = F.at[:, sl, :m].set(
+                _set_knots(jnp.zeros((N, p, m), dtype), b.inds, Ju))
+            r = r.at[:, sl].set(_set_knots(jnp.zeros((N, p), dtype),
+                                           b.inds, c))
+            live = live.at[:, sl].set(_set_knots(jnp.zeros((N, p), bool),
+                                                 b.inds, act))
 
-        r = jnp.concatenate([x[0] for x in rows])
-        D = jnp.concatenate([x[1] for x in rows], axis=0)
-        act = jnp.concatenate([x[2] for x in rows])
-        # inactive rows are masked out (zero row + zero residual)
-        r = jnp.where(act, r, 0.0)
-        D = D * act[:, None].astype(D.dtype)
-        return r, D
+        maskf = live.astype(dtype)[:, :, None]
+        E = E * maskf
+        F = F * maskf
+        r = jnp.where(live, r, 0.0)
+        return E, F, r, live
+
+    def min_norm_step(E, F, r, live):
+        """dz = -D^T (D D^T)^(-1) r via block-tridiagonal Cholesky."""
+        # diagonal blocks; dead rows get a unit pivot (their residual is 0)
+        Gd = jnp.einsum("kqw,kpw->kqp", E, E) + jnp.einsum(
+            "kqw,kpw->kqp", F, F)
+        Gd = Gd + jax.vmap(jnp.diag)(jnp.where(live, reg, 1.0))
+        # sub-diagonal blocks: group k couples to group k-1 through w_{k-1}
+        Go = jnp.einsum("kqw,kpw->kqp", E[1:], F[:-1])        # (N-1, q, q)
+        Go = jnp.concatenate([jnp.zeros((1, q, q), dtype), Go], axis=0)
+
+        def fact(L_prev, inp):
+            Gd_k, Go_k = inp
+            M_k = _tri_solve(L_prev, Go_k.T).T           # Go_k L_prev^{-T}
+            S = Gd_k - M_k @ M_k.T
+            L_k = jnp.linalg.cholesky(S)
+            return L_k, (L_k, M_k)
+
+        # group 0 has no coupling: seed the scan with an identity "L_{-1}"
+        _, (L, M) = jax.lax.scan(fact, jnp.eye(q, dtype=dtype), (Gd, Go))
+
+        def fwd(y_prev, inp):
+            L_k, M_k, r_k = inp
+            y_k = _tri_solve(L_k, r_k - M_k @ y_prev)
+            return y_k, y_k
+
+        _, yhat = jax.lax.scan(fwd, jnp.zeros((q,), dtype), (L, M, r))
+
+        def bwd(y_next, inp):
+            L_k, M_next, yhat_k = inp
+            y_k = _tri_solve_t(L_k, yhat_k - M_next.T @ y_next)
+            return y_k, y_k
+
+        M_next = jnp.concatenate([M[1:], jnp.zeros((1, q, q), dtype)], axis=0)
+        _, y = jax.lax.scan(bwd, jnp.zeros((q,), dtype),
+                            (L, M_next, yhat), reverse=True)
+
+        # dw_k = -(F_k^T y_k + E_{k+1}^T y_{k+1}), k = 0..N-2
+        dw = -(jnp.einsum("kqw,kq->kw", F[:-1], y[:-1])
+               + jnp.einsum("kqw,kq->kw", E[1:], y[1:]))
+        return dw                                           # (N-1, m+n)
 
     def newton_step(carry, _):
         xs, us = carry
-        r, D = residual_and_jac(xs, us)
-        P = r.shape[0]
-        G = D @ D.T + reg * jnp.eye(P, dtype=D.dtype)
-        L = jnp.linalg.cholesky(G)
-        y = jax.scipy.linalg.cho_solve((L, True), r)
-        dz = -D.T @ y
-        z = _flatten(xs, us) + dz
-        xs_n, us_n = _unflatten(z, xs, us)
+        E, F, r, live = build_system(xs, us)
+        dw = min_norm_step(E, F, r, live)
+        us_n = jnp.concatenate([us[:-1] + dw[:, :m], us[-1:]], axis=0)
+        xs_n = jnp.concatenate([xs[:1], xs[1:] + dw[:, m:]], axis=0)
         return (xs_n, us_n), jnp.max(jnp.abs(r))
 
     (xs, us), _ = jax.lax.scan(newton_step, (sol.xs, sol.us), None,
