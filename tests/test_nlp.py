@@ -100,6 +100,55 @@ def test_hess_lagrangian_second_order_term():
     assert np.allclose(H1, H1.T, atol=1e-10)
 
 
+def test_hess_lagrangian_block_assembly_vs_ad():
+    """The block-assembled hess_L (per-knot cost blocks + dynamics curvature
+    + constraint_hessian; abstract_constraint.jl:267-280) must equal the
+    whole-vector AD Hessian of f + lam'c — including NONLINEAR stage
+    constraints (CircleConstraint) — for every defect form."""
+    from trajopt_tpu.benchmarks import dubins_three_obstacles
+
+    rng = np.random.default_rng(7)
+    for defect in ("explicit", "implicit_midpoint", "hermite_simpson"):
+        prob = dubins_three_obstacles(N=5)
+        prob.rollout()
+        nlp = TrajOptNLP(prob, defect=defect)
+        Z = nlp.initial_trajectory() + 0.01 * rng.standard_normal(nlp.NN)
+        lam = jnp.asarray(rng.standard_normal(nlp.P))
+        H = nlp.hess_L(Z, lam)
+        H_ad = np.asarray(jax.hessian(
+            lambda z: nlp._eval_f_impl(z) + lam @ nlp._eval_c_impl(z))(
+                jnp.asarray(Z)))
+        assert np.allclose(H, H_ad, atol=1e-8), defect
+
+
+def test_hess_lagrangian_scales_to_n101():
+    """Block assembly is O(N) small AD kernels — N=101 must be fast, where
+    the r1 whole-vector jax.hessian was O(NN^2) (VERDICT r1 #3)."""
+    import time
+
+    prob = dubins_parallel_park(N=101)
+    prob.rollout()
+    nlp = TrajOptNLP(prob)
+    Z = nlp.initial_trajectory()
+    lam = jnp.asarray(np.random.default_rng(0).standard_normal(nlp.P))
+    t0 = time.time()
+    H = nlp.hess_L(Z, lam)
+    assert time.time() - t0 < 60.0  # compile + run
+    assert H.shape == (nlp.NN, nlp.NN)
+    assert np.allclose(H, H.T, atol=1e-9)
+    # spot-check one dynamics block against AD of that step alone
+    n, m = prob.n, prob.m
+    model = prob.model
+    k = 3
+    lamk = lam[n + k * n: n + (k + 1) * n]
+    zk = jnp.concatenate([prob.xs[k], prob.us[k]])
+    Hk = jax.hessian(lambda z: lamk @ model.step(
+        z[:n], z[n:], prob.times[k], prob.dts[k]))(zk)
+    cols = nlp.data.zinds(k)
+    Hf = nlp.hess_f(Z)
+    assert np.allclose((H - Hf)[np.ix_(cols, cols)], Hk, atol=1e-8)
+
+
 def test_primal_bounds_strip():
     prob = dubins_parallel_park(N=11)
     nlp = TrajOptNLP(prob, remove_bounds=True)

@@ -231,3 +231,78 @@ def test_projected_newton_solver_standalone():
     polished = pn.solve()
     assert pn.max_violation() < 1e-11  # moi_test.jl:23 feasibility grade
     assert bool(polished.converged)
+
+
+def test_exact_al_hessian_matches_ad():
+    """al_hessian_exact=True must produce the TRUE Hessian of the AL merit:
+    per-knot expansion blocks == diagonal blocks of jax.hessian(cost_fn),
+    wiring cones.projection_hessian + constraints.constraint_hessian into a
+    solver-facing path (VERDICT r1 #5).  Exercises all three cone senses:
+    equality (goal), inequality (circle), SOC (norm)."""
+    from trajopt_tpu.benchmarks import quickstart_problem
+    from trajopt_tpu.solvers.al import init_duals, make_al_functions
+    from trajopt_tpu.solvers.altro import _problem_blocks
+
+    prob = quickstart_problem(N=7)
+    prob.rollout()
+    blocks = _problem_blocks(prob)
+    opts = SolverOptions(penalty_initial=1.3)
+    lams, mus = init_duals(blocks, opts, jnp.float64)
+    # nonzero duals so the dPi point is generic
+    rng = np.random.default_rng(5)
+    lams = tuple(jnp.asarray(0.1 * rng.standard_normal(l.shape)) for l in lams)
+
+    cost_fn, expand_fn = make_al_functions(prob.obj, blocks, lams, mus,
+                                           exact_hessian=True)
+    # push the trajectory into ACTIVE constraint territory: controls beyond
+    # the SOC limit (curved projection region) and states into the obstacle
+    # (violated inequality rows) so the dropped-by-GN curvature is nonzero
+    xs = prob.xs + 0.01 * rng.standard_normal(prob.xs.shape)
+    xs = xs.at[2:5, 0].set(0.1).at[2:5, 1].set(1.0)
+    us = prob.us + 4.0 + 0.1 * rng.standard_normal(prob.us.shape)
+    exp = expand_fn(xs, us)
+
+    Hxx = jax.hessian(lambda x: cost_fn(x, us))(xs)     # (N, n, N, n)
+    Huu = jax.hessian(lambda u: cost_fn(xs, u))(us)
+    Hux = jax.jacfwd(jax.grad(lambda x, u: cost_fn(x, u), argnums=1),
+                     argnums=0)(xs, us)                 # (N, m, N, n)
+    N = prob.N
+    for k in range(N):
+        assert np.allclose(exp.xx[k], Hxx[k, :, k, :], atol=1e-9), k
+        assert np.allclose(exp.uu[k], Huu[k, :, k, :], atol=1e-9), k
+        assert np.allclose(exp.ux[k], Hux[k, :, k, :], atol=1e-9), k
+
+    # the GN default must NOT match exactly on this nonlinear-SOC problem
+    _, expand_gn = make_al_functions(prob.obj, blocks, lams, mus)
+    exp_gn = expand_gn(xs, us)
+    assert not all(
+        np.allclose(exp_gn.xx[k], Hxx[k, :, k, :], atol=1e-9)
+        for k in range(N))
+
+
+def test_exact_al_hessian_solve():
+    """The full-Newton AL mode solves the SOC rocket problem end-to-end."""
+    from trajopt_tpu.benchmarks import rocket_landing
+
+    prob = rocket_landing(N=31)
+    sol = ALTROSolver(prob, SolverOptions(al_hessian_exact=True)).solve()
+    assert bool(sol.converged)
+    assert float(sol.max_violation) < 1e-6
+
+
+def test_projected_newton_scales_n401():
+    """Block-tridiagonal PN at N=401 Dubins: compiles in seconds (three O(N)
+    scans, no unrolled dense assembly) and polishes to tight feasibility
+    (VERDICT r1 #6)."""
+    import time
+    from trajopt_tpu.benchmarks import dubins_parallel_park
+    from trajopt_tpu.solvers import solve_problem
+
+    t0 = time.time()
+    sol = solve_problem(dubins_parallel_park(N=401),
+                        SolverOptions(projected_newton=True,
+                                      constraint_tolerance=1e-6))
+    elapsed = time.time() - t0
+    assert bool(sol.converged)
+    assert float(sol.max_violation) < 1e-10
+    assert elapsed < 120.0, f"PN N=401 took {elapsed:.1f}s"

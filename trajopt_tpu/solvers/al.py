@@ -166,8 +166,18 @@ def init_duals(blocks: Sequence[ConstraintBlock], opts: SolverOptions, dtype):
 
 
 def make_al_functions(obj: Objective, blocks: Sequence[ConstraintBlock],
-                      lams, mus) -> Tuple[Callable, Callable]:
-    """Build (cost_fn, expand_fn) for the AL-augmented objective."""
+                      lams, mus,
+                      exact_hessian: bool = False) -> Tuple[Callable, Callable]:
+    """Build (cost_fn, expand_fn) for the AL-augmented objective.
+
+    ``exact_hessian=True`` adds the full-Newton curvature terms the
+    Gauss-Newton default drops: the projection's second derivative
+    mu * D^2Pi[pi] (cones.projection_hessian; cones.jl:201-276) and the
+    constraint curvature sum_i (dphi/dc)_i nabla^2 c_i
+    (constraints.constraint_hessian; abstract_constraint.jl:267-280).
+    Exact curvature can be indefinite — the Riccati regularization handles
+    it — and measures slower per iteration; GN is the production default.
+    """
 
     def penalty_cost(block, lam, mu, xs, us):
         c = _block_eval(block, xs, us)                      # (K, p)
@@ -227,7 +237,22 @@ def make_al_functions(obj: Objective, blocks: Sequence[ConstraintBlock],
             g_c = -jnp.einsum("kpq,kp->kq", dpi, pi)
             g_z = jnp.einsum("kpz,kp->kz", Jc, g_c)                  # (K, n+m)
             H_c = jnp.einsum("kpq,kpr->kqr", dpi, dpi) * mu[:, None, None]
+            if exact_hessian:
+                # mu * D^2Pi[pi]: second derivative of the dual-cone
+                # projection contracted with pi (zero for the orthant
+                # cones, the SOC closed form otherwise)
+                from ..cones import projection_hessian
+                Hpi = jax.vmap(
+                    lambda v, p_: projection_hessian(dual, v, p_))(y, pi)
+                H_c = H_c + mu[:, None, None] * Hpi
             H_z = jnp.einsum("kpz,kpq,kqw->kzw", Jc, H_c, Jc)        # (K, n+m, n+m)
+            if exact_hessian:
+                # constraint curvature sum_i (dphi/dc)_i nabla^2 c_i
+                from ..constraints import constraint_hessian
+                H_z = H_z + jax.vmap(
+                    lambda x_, u_, g_: constraint_hessian(
+                        block.con, x_, u_, g_))(
+                        _take_knots(xs, inds), _take_knots(us, inds), g_c)
             gx = _add_knots(gx, inds, g_z[:, :n])
             gu = _add_knots(gu, inds, g_z[:, n:])
             Hxx = _add_knots(Hxx, inds, H_z[:, :n, :n])
@@ -343,7 +368,9 @@ def al_solve(
             & (s.inner_iters < opts.iterations)
 
     def body(s: Carry):
-        cost_fn, expand_fn = make_al_functions(obj, blocks, s.lams, s.mus)
+        cost_fn, expand_fn = make_al_functions(
+            obj, blocks, s.lams, s.mus,
+            exact_hessian=opts.al_hessian_exact)
         res = ilqr_solve(
             model, cost_fn, expand_fn, x0, s.xs, s.us, times, dts, opts,
             max_iters=opts.iterations_inner,
@@ -413,7 +440,9 @@ def al_solve(
     # The polish minimizes the AL merit at FIXED multipliers, which can
     # trade a little feasibility for cost — keep it only if it does not
     # worsen the max violation beyond tolerance.
-    cost_fn, expand_fn = make_al_functions(obj, blocks, out.lams, out.mus)
+    cost_fn, expand_fn = make_al_functions(
+        obj, blocks, out.lams, out.mus,
+        exact_hessian=opts.al_hessian_exact)
     res = ilqr_solve(
         model, cost_fn, expand_fn, x0, out.xs, out.us, times, dts, opts,
         max_iters=opts.iterations_inner,

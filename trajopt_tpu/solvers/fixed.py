@@ -114,7 +114,9 @@ def al_solve_fixed(
             model, (A_c, B_c), xs[:-1], us[:-1], times[:-1], dts[:-1],
             opts, lin_ptr, lin_window)
     for seg in schedule:
-        cost_fn, expand_fn = make_al_functions(obj, blocks, lams, mus)
+        cost_fn, expand_fn = make_al_functions(
+            obj, blocks, lams, mus,
+            exact_hessian=opts.al_hessian_exact)
         J = cost_fn(xs, us)
         for i in range(seg):
             # Global relinearization cadence (counts across segments).

@@ -68,6 +68,13 @@ class SolverOptions:
     # parallelism, SURVEY.md §5; exact match to sequential at rho = 0).
     riccati: str = "sequential"
 
+    # -- AL expansion order ---------------------------------------------------
+    # False (default): Gauss-Newton AL Hessian mu J' dPi'dPi J.  True: add
+    # the exact curvature terms (cones.projection_hessian +
+    # constraints.constraint_hessian) — full-Newton AL, can be indefinite
+    # (handled by bp regularization), slower per iteration.
+    al_hessian_exact: bool = False
+
     # -- backward-pass regularization ----------------------------------------
     bp_reg_initial: float = 0.0
     bp_reg_increase_factor: float = 1.6
