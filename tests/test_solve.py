@@ -301,8 +301,9 @@ def test_projected_newton_scales_n401():
     t0 = time.time()
     sol = solve_problem(dubins_parallel_park(N=401),
                         SolverOptions(projected_newton=True,
+                                      projected_newton_iterations=8,
                                       constraint_tolerance=1e-6))
     elapsed = time.time() - t0
     assert bool(sol.converged)
-    assert float(sol.max_violation) < 1e-10
+    assert float(sol.max_violation) < 1e-11
     assert elapsed < 120.0, f"PN N=401 took {elapsed:.1f}s"

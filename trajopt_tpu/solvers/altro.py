@@ -55,7 +55,9 @@ def solve_problem(prob: Problem, opts: Optional[SolverOptions] = None,
     if opts.projected_newton:
         from .projection import projected_newton
         sol = projected_newton(model, prob.obj, blocks, prob.x0, sol,
-                               prob.times, prob.dts, opts)
+                               prob.times, prob.dts, opts,
+                               newton_iters=opts.projected_newton_iterations,
+                               active_tol=opts.projected_newton_tolerance)
     return sol
 
 
@@ -221,7 +223,9 @@ class ProjectedNewtonSolver(ALTROSolver):
         )
         self.solution = projected_newton(
             prob.model, prob.obj, blocks, prob.x0, seed, prob.times,
-            prob.dts, self.opts)
+            prob.dts, self.opts,
+            newton_iters=self.opts.projected_newton_iterations,
+            active_tol=self.opts.projected_newton_tolerance)
         if self.show_summary:
             self.print_summary()
         return self.solution

@@ -130,7 +130,12 @@ class SolverOptions:
 
     # -- projected-Newton solution polish (ALTRO phase 2) --------------------
     projected_newton: bool = False
+    # inequality rows within this distance of the boundary are HELD by the
+    # projection (chatter guard; solvers/projection.py)
     projected_newton_tolerance: float = 1e-3
+    # Newton passes; larger problems need more (N=401 Dubins reaches 1e-13
+    # at 8, tests/test_solve.py)
+    projected_newton_iterations: int = 3
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

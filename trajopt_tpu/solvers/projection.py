@@ -86,9 +86,11 @@ def projected_newton(
     q = n + P           # rows per knot group (defect block + stage slab)
     w = m + n           # variable block w_k = (u_k, x_{k+1})
 
-    def build_system(xs, us):
+    def build_system(xs, us, hold_tol):
         """E (N, q, w), F (N, q, w), r (N, q): group k's coefficients on
-        w_{k-1} and w_k and its residual, with inactive rows zeroed."""
+        w_{k-1} and w_k and its residual, with inactive rows zeroed.
+        ``hold_tol``: inequality rows within this distance BELOW the
+        boundary are included with zero residual (held)."""
         A, B = jax.vmap(model.jacobian)(xs[:-1], us[:-1], times[:-1],
                                         dts[:-1])
         defects = jax.vmap(model.step)(xs[:-1], us[:-1], times[:-1],
@@ -118,9 +120,17 @@ def projected_newton(
             if b.con.sense is Cone.ZERO:
                 act = jnp.ones_like(c, bool)
             else:
-                # NegativeOrthant: only VIOLATED rows enter; a feasible
-                # near-boundary row must not be pulled onto the boundary.
-                act = c > 0
+                # NegativeOrthant active set: violated rows (c > 0) are
+                # driven to the boundary; rows within hold_tol BELOW the
+                # boundary are included with residual max(c, 0) = 0 — they
+                # are held, not pulled out — so the min-norm correction
+                # cannot re-violate a just-projected row (active-set
+                # chatter kept bound rows at ~1e-8 otherwise).  The final
+                # pass runs violated-only (hold_tol = 0): held rows
+                # micro-chatter at ~1e-10, and the last tiny correction is
+                # chatter-free.
+                act = c > -hold_tol
+                c = jnp.maximum(c, 0.0)
             sl = slice(n + off, n + off + p)
             # x-part lands in E (zero where knot 0: x_0 pinned)
             Ex = Jc[:, :, :n]
@@ -186,16 +196,17 @@ def projected_newton(
                + jnp.einsum("kqw,kq->kw", E[1:], y[1:]))
         return dw                                           # (N-1, m+n)
 
-    def newton_step(carry, _):
+    def newton_step(carry, hold_tol):
         xs, us = carry
-        E, F, r, live = build_system(xs, us)
+        E, F, r, live = build_system(xs, us, hold_tol)
         dw = min_norm_step(E, F, r, live)
         us_n = jnp.concatenate([us[:-1] + dw[:, :m], us[-1:]], axis=0)
         xs_n = jnp.concatenate([xs[:1], xs[1:] + dw[:, m:]], axis=0)
         return (xs_n, us_n), jnp.max(jnp.abs(r))
 
-    (xs, us), _ = jax.lax.scan(newton_step, (sol.xs, sol.us), None,
-                               length=newton_iters)
+    hold = jnp.concatenate([jnp.full((newton_iters,), active_tol, dtype),
+                            jnp.zeros((1,), dtype)])
+    (xs, us), _ = jax.lax.scan(newton_step, (sol.xs, sol.us), hold)
     cvals = eval_blocks(blocks, xs, us)
     viol = max_violation_blocks(blocks, cvals)
     # include dynamics defect in the reported violation
