@@ -209,3 +209,59 @@ def test_unconditional_full_step_mpc(rng):
     from trajopt_tpu.solvers.al import al_solve
     with pytest.raises(ValueError):
         al_solve(dm, obj, blocks, x0s[0], us0[0], times, dts, opts0)
+
+
+def test_sharded_mpc_controller_matches_unsharded(rng):
+    """The PRODUCTION MPC path on the 8-device mesh (VERDICT r1 #7): the
+    fixed-schedule RTI controller with Jacobian carry and a per-scenario
+    objective produces the SAME trajectories sharded as unsharded, and the
+    psum'd BatchStats agree with host reductions."""
+    from trajopt_tpu.parallel import make_sharded_mpc_controller
+
+    dm, obj, blocks, times, dts, n, m, N, xf = _setup()
+    opts = SolverOptions(record_stats=False, iterations_linesearch=1,
+                         final_polish=False, jacobian_mode="approx1")
+    mesh = make_mesh()
+    B = 8
+    x0s = jnp.asarray(rng.standard_normal((B, n)) * 0.3)
+    us0 = jnp.zeros((B, N, m))
+    sol = batch_solve(dm, obj, blocks, x0s, us0, times, dts,
+                      SolverOptions(record_stats=False))
+
+    # per-scenario objectives: each controller tracks a shifted goal
+    objs = [to.LQRObjective(jnp.ones(n), jnp.ones(m), 10 * jnp.ones(n),
+                            xf + 0.05 * i, N) for i in range(B)]
+    obj_b = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *objs)
+
+    ctrl = make_sharded_mpc_controller(
+        mesh, dm, obj, blocks, times, dts, opts, schedule=(1,),
+        lin_window=2, batch_objective=True)
+    A0, B0 = mpc.init_lin_carry(dm, sol, times, dts, opts, batched=True)[:2]
+    lin = (A0, B0, jnp.zeros((), jnp.int32))
+
+    sol_s, lin_s = sol, lin
+    for _ in range(3):
+        sol_s, lin_s, stats = ctrl(sol_s.xs[:, 1], sol_s, lin_s,
+                                   obj_override=obj_b)
+
+    # unsharded reference: same vmapped step on one device
+    from trajopt_tpu.mpc import mpc_step
+
+    def step(o, x, prev, lin):
+        return mpc_step(dm, o, blocks, x, prev, times, dts, opts,
+                        schedule=(1,), lin=lin, lin_window=2)
+
+    vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, (0, 0, None)),
+                             out_axes=(0, (0, 0, None))))
+    sol_u, lin_u = sol, lin
+    for _ in range(3):
+        sol_u, lin_u = vstep(obj_b, sol_u.xs[:, 1], sol_u, lin_u)
+
+    assert np.allclose(np.asarray(sol_s.us), np.asarray(sol_u.us), atol=1e-8)
+    assert np.allclose(np.asarray(sol_s.xs), np.asarray(sol_u.xs), atol=1e-8)
+    assert int(lin_s[2]) == int(lin_u[2])
+    # psum'd stats == host reductions
+    assert int(stats.num_scenarios) == B
+    assert int(stats.num_converged) == int(sol_s.converged.sum())
+    assert float(stats.max_violation) == pytest.approx(
+        float(sol_s.max_violation.max()), abs=1e-12)

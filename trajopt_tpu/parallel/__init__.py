@@ -1,6 +1,7 @@
 """Parallelism: batched (vmap) and sharded (mesh/pjit) solves — SURVEY.md §2.3."""
 from .batch import batch_solve, make_batch_solver
-from .mesh import BatchStats, SCENARIO_AXIS, make_mesh, make_sharded_solver
+from .mesh import (BatchStats, SCENARIO_AXIS, make_mesh,
+                   make_sharded_mpc_controller, make_sharded_solver)
 
 __all__ = [
     "batch_solve",
@@ -8,5 +9,6 @@ __all__ = [
     "BatchStats",
     "SCENARIO_AXIS",
     "make_mesh",
+    "make_sharded_mpc_controller",
     "make_sharded_solver",
 ]

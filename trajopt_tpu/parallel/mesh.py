@@ -29,7 +29,8 @@ from ..objective import Objective
 from ..solvers.al import ALSolution, ConstraintBlock, al_solve
 from ..solvers.options import SolverOptions
 
-__all__ = ["make_mesh", "make_sharded_solver", "BatchStats"]
+__all__ = ["make_mesh", "make_sharded_solver", "make_sharded_mpc_controller",
+           "BatchStats"]
 
 SCENARIO_AXIS = "scenarios"
 
@@ -106,3 +107,99 @@ def make_sharded_solver(
         return jitted(obj_override if obj_override is not None else obj, x0s, us0)
 
     return solve
+
+
+def make_sharded_mpc_controller(
+    mesh: Mesh,
+    model: DiscreteModel,
+    obj: Objective,
+    blocks: Sequence[ConstraintBlock],
+    times: jax.Array,
+    dts: jax.Array,
+    opts: SolverOptions,
+    schedule=(1,),
+    relin_every: int = 2,
+    lin_window: int = 0,
+    batch_objective: bool = False,
+):
+    """The PRODUCTION receding-horizon step, sharded over the scenario axis:
+    fixed-schedule real-time-iteration re-solve (mpc.mpc_step) with optional
+    cross-step Jacobian carry and an optional PER-SCENARIO objective
+    (tracking fleets where every controller chases its own reference).
+
+    Returns ``controller(x_meas, prev_sol[, lin][, obj_override]) ->
+    (sol[, lin], BatchStats)``.  All scenario tensors (measured states, the
+    solution pytree, carried Jacobians) are sharded over the mesh's
+    scenario axis; the rotating-refresh pointer and the psum'd BatchStats
+    are replicated.  Scenarios are independent, so the only collective is
+    the stats reduction — the comm layer of SURVEY.md §2.3.
+    """
+    from ..mpc import mpc_step
+
+    blocks = tuple(blocks)
+    from ..utils.host import to_host
+    model, blocks, times, dts = to_host((model, blocks, times, dts))
+    axis = mesh.axis_names[0]
+    shard_b = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    obj_axis = 0 if batch_objective else None
+    obj_sharding = shard_b if batch_objective else replicated
+
+    def _stats(sol: ALSolution) -> BatchStats:
+        return BatchStats(
+            num_converged=jnp.sum(sol.converged.astype(jnp.int32)),
+            num_scenarios=jnp.asarray(sol.xs.shape[0], jnp.int32),
+            mean_iterations=jnp.mean(sol.iterations.astype(jnp.float32)),
+            max_violation=jnp.max(sol.max_violation),
+            total_cost=jnp.sum(sol.J),
+        )
+
+    if lin_window > 0:
+        def _step(obj_, x, prev, lin):
+            return mpc_step(model, obj_, blocks, x, prev, times, dts, opts,
+                            schedule=tuple(schedule), relin_every=relin_every,
+                            lin=lin, lin_window=lin_window)
+
+        vmapped = jax.vmap(_step,
+                           in_axes=(obj_axis, 0, 0, (0, 0, None)),
+                           out_axes=(0, (0, 0, None)))
+
+        def _batch(obj_, x, prev, lin):
+            sol, lin_n = vmapped(obj_, x, prev, lin)
+            return sol, lin_n, _stats(sol)
+
+        jitted = jax.jit(
+            _batch,
+            in_shardings=(obj_sharding, shard_b, shard_b,
+                          (shard_b, shard_b, replicated)),
+            out_shardings=(shard_b, (shard_b, shard_b, replicated),
+                           replicated),
+        )
+
+        def controller(x_meas, prev, lin, obj_override=None):
+            return jitted(obj_override if obj_override is not None else obj,
+                          x_meas, prev, lin)
+
+        return controller
+
+    def _step(obj_, x, prev):
+        return mpc_step(model, obj_, blocks, x, prev, times, dts, opts,
+                        schedule=tuple(schedule), relin_every=relin_every)
+
+    vmapped = jax.vmap(_step, in_axes=(obj_axis, 0, 0))
+
+    def _batch(obj_, x, prev):
+        sol = vmapped(obj_, x, prev)
+        return sol, _stats(sol)
+
+    jitted = jax.jit(
+        _batch,
+        in_shardings=(obj_sharding, shard_b, shard_b),
+        out_shardings=(shard_b, replicated),
+    )
+
+    def controller(x_meas, prev, obj_override=None):
+        return jitted(obj_override if obj_override is not None else obj,
+                      x_meas, prev)
+
+    return controller
