@@ -1,14 +1,21 @@
-"""Benchmark: batched receding-horizon quadrotor MPC solves/s on one chip.
+"""Benchmark: batched receding-horizon quadrotor MPC on one chip.
 
 BASELINE.json config 5: "Batched receding-horizon quadrotor MPC, 4096
-scenarios"; target >= 1000 batched solves/s/chip.  One MPC "solve" is a
-warm-started AL-iLQR re-solve (shifted trajectory + duals, perturbed
-measured state) with a bounded iteration budget — the production MPC cycle.
+scenarios"; target >= 1000 batched solves/s/chip.  Two honest rates are
+reported (VERDICT r1 #4):
 
-Prints ONE JSON line:
-  {"metric": "quadrotor_mpc_batched", "value": <solves/s>, "unit":
-   "solves/s/chip", "vs_baseline": <value/1000>}
-Diagnostics go to stderr.
+  * ``cold_solves_per_s`` — full to-tolerance AL-iLQR solves from a hover
+    warm start (the BASELINE "batched solves" meaning), with the converged
+    fraction alongside;
+  * ``value`` / ``rti_steps_per_s`` — warm-started real-time-iteration MPC
+    re-solves (ONE Gauss-Newton iteration + dual update per step), the
+    production MPC cycle the headline number has always measured.
+
+Tail-quality telemetry (converged %, p99/max violation, reset count) and an
+MFU estimate (XLA cost-analysis FLOPs vs the chip's bf16 peak) ride in the
+same JSON line (VERDICT r1 #9).
+
+Prints ONE JSON line; diagnostics go to stderr.
 """
 import json
 import os
@@ -28,6 +35,11 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp
 import numpy as np
+
+# v5e (TPU v5 lite) peak: 197 TFLOP/s bf16.  MFU is reported against the
+# bf16 peak even though most of this workload runs f32 — conservative and
+# unambiguous.
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
 
 
 def log(*a):
@@ -68,6 +80,20 @@ def build(B, N, tf, dtype, opts_kw):
     return dm, obj, blocks, x0, times, dts, opts, n, m, hover
 
 
+def _program_flops(jitted, *args):
+    """FLOPs of one compiled execution via XLA cost analysis (None if the
+    backend does not expose it)."""
+    try:
+        cc = jitted.lower(*args).compile()
+        ca = cc.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:  # axon may not expose cost analysis
+        log(f"cost_analysis unavailable ({type(e).__name__}: {e})")
+        return None
+
+
 def main():
     from trajopt_tpu import mpc
     from trajopt_tpu.solvers import SolverOptions
@@ -83,35 +109,33 @@ def main():
     assert B % chunk == 0
     tf = 5.0
 
+    # Cold-solve budget (VERDICT r1 #1): penalty_max capped at 1e6 — f32
+    # AL stalls when mu crosses ~1e7 (CLAUDE.md) and saturated penalties
+    # poison the warm-started RTI steps; the outer/total budgets cover the
+    # slow tail (marginal scenarios converge at outer 9-14).
+    tol = 5e-4
     cold_opts = dict(
-        penalty_scaling=100.0, penalty_initial=0.1,
-        constraint_tolerance=5e-4, cost_tolerance=1e-3,
+        penalty_scaling=100.0, penalty_initial=0.1, penalty_max=1e6,
+        constraint_tolerance=tol, cost_tolerance=1e-3,
         cost_tolerance_intermediate=1e-2, gradient_tolerance=1e-4,
         gradient_tolerance_intermediate=1e-3, bp_reg_initial=1e-6,
-        iterations=120, iterations_outer=8, iterations_inner=40,
+        iterations=int(os.environ.get("BENCH_COLD_ITERS", 320)),
+        iterations_outer=int(os.environ.get("BENCH_COLD_OUTER", 16)),
+        iterations_inner=40,
+        error_state=bool(int(os.environ.get("BENCH_ES", 0))),
         # stats=None keeps the solution pytree structure identical between
         # the cold al_solve and the fixed-schedule MPC steps — the timed
         # loop must never retrace.
         record_stats=False,
     )
-    # MPC budget: a bounded warm-started re-solve with a lean line search.
-    # Warm-started re-solves converge in ~5 iterations (median); the cap is
-    # the wall-clock under vmapped while_loops, so keep it tight.
-    mpc_opts = dict(cold_opts)
-    # Real-time-iteration defaults (measured on v5e, B=2048, N=101):
+    # Real-time-iteration MPC budget (measured on v5e, B=2048, N=101):
     # one Gauss-Newton iteration + dual update per MPC step (schedule="1"),
-    # FIRST-ORDER approximate linearization (the O(dt^2) correction's
-    # batched tiny einsums cost ~30% of the step for no quality change),
-    # SINGLE-alpha full Newton step with cost-descent acceptance (LS=1:
-    # +6% over the 2-alpha search, identical fleet quality — warm-started
-    # RTI steps essentially always accept alpha=1), bfloat16 jacfwd
-    # tangents (the jacfwd stage is HBM-bound; +1.7%, max viol 3.9e-9) —
-    # 38220 solves/s/chip at median viol 0 after 40 steps (37580 with f32
-    # tangents, 33600 with LS=2, 26160 with "approx", 6120 for the old
-    # "2,1,1"/exact/6-alpha budget); the fleet CONTRACTS.  LS=0 (no
-    # cost-descent guard) diverges a scenario (max viol 8e8) AND reads
-    # slower — rejected.
+    # FIRST-ORDER approximate linearization, SINGLE-alpha step with
+    # cost-descent acceptance (LS=1), bfloat16 jacfwd tangents — 38220
+    # solves/s/chip at median viol 0 after 40 steps; the fleet CONTRACTS.
+    # LS=0 (no descent guard) diverges a scenario AND reads slower.
     # Knobs: BENCH_SCHEDULE / BENCH_JM / BENCH_LS / BENCH_LD / BENCH_RELIN.
+    mpc_opts = dict(cold_opts)
     mpc_opts.update(iterations=6, iterations_outer=2, iterations_inner=5,
                     iterations_linesearch=int(os.environ.get("BENCH_LS", 1)),
                     line_search_min_alpha=1e-4,
@@ -132,7 +156,8 @@ def main():
     x0s = x0[None, :] + 0.05 * jax.random.normal(kx, (B, n), dtype)
     us0 = jnp.full((B, N, m), hover, dtype)
 
-    log(f"bench: B={B} N={N} dtype={dtype.__name__} device={jax.devices()[0]}")
+    log(f"bench: B={B} N={N} dtype={dtype.__name__} chunk={chunk} "
+        f"es={cold_opts['error_state']} device={jax.devices()[0]}")
 
     def chunked(fn, *args):
         # 0-d leaves (the fleet-shared lin-carry refresh pointer) are
@@ -147,14 +172,24 @@ def main():
             lambda *xs: xs[0] if jnp.ndim(xs[0]) == 0
             else jnp.concatenate(xs, axis=0), *outs)
 
-    # Cold solve (amortized across the MPC horizon; not part of the metric).
+    # ---- cold solve: the to-tolerance batched rate (VERDICT r1 #4) -------
     cold_solve = jax.jit(jax.vmap(
         lambda a, b: al_solve(dm, obj, blocks, a, b, times, dts, opts_cold)))
     t0 = time.time()
     sol = jax.block_until_ready(chunked(cold_solve, x0s, us0))
-    log(f"cold solve: {time.time() - t0:.1f}s, converged "
-        f"{int(sol.converged.sum())}/{B}, mean iters {float(sol.iterations.mean()):.1f}, "
-        f"max viol {float(sol.max_violation.max()):.2e}")
+    cold_s = time.time() - t0
+    # compile time is excluded from the rate: re-run once warm
+    t0 = time.time()
+    sol = jax.block_until_ready(chunked(cold_solve, x0s, us0))
+    cold_warm_s = time.time() - t0
+    cold_rate = B / cold_warm_s
+    viol0 = np.asarray(sol.max_violation)
+    conv0 = int(np.asarray(sol.converged).sum())
+    log(f"cold solve: {cold_s:.1f}s first, {cold_warm_s:.1f}s warm -> "
+        f"{cold_rate:.1f} solves/s, converged {conv0}/{B} "
+        f"({100.0 * conv0 / B:.2f}%), mean iters "
+        f"{float(sol.iterations.mean()):.1f}, max viol {viol0.max():.2e}, "
+        f"p99 {np.quantile(viol0, 0.99):.2e}")
 
     schedule = tuple(int(x) for x in
                      os.environ.get("BENCH_SCHEDULE", "1").split(","))
@@ -176,12 +211,13 @@ def main():
     x0_reset = np.asarray(x0s)
     us_reset = np.asarray(us0)
 
-    def sim_next(sol, key):
+    def sim_next(sol, key, resets):
         # measured state: propagate one knot + small disturbance; diverged
         # controllers reset to the hover initial condition WITH fresh duals
         # and penalties (fleet fault recovery — stateless per-solve,
-        # SURVEY.md §5)
-        bad = (sol.max_violation > 1.0) | ~jnp.isfinite(sol.J)
+        # SURVEY.md §5).  Reset threshold: 100x the constraint tolerance
+        # (VERDICT r1 #1 'principled'), accumulated IN-DEVICE.
+        bad = (sol.max_violation > 100 * tol) | ~jnp.isfinite(sol.J)
         xs = jnp.where(bad[:, None, None], x0_reset[:, None, :], sol.xs)
         us = jnp.where(bad[:, None, None], us_reset, sol.us)
         duals = jax.tree_util.tree_map(
@@ -194,43 +230,72 @@ def main():
         sol = sol.replace(xs=xs, us=us, duals=duals, penalties=pens)
         x_next = sol.xs[:, 1]
         noise = 0.01 * jax.random.normal(key, x_next.shape, dtype)
-        return x_next + noise, sol
+        return x_next + noise, sol, resets + bad.sum()
 
-    # warmup / compile
     sim_next = jax.jit(sim_next)
+    resets = jnp.zeros((), jnp.int32)
 
-    def mpc_round(sol, lin, key):
-        x_meas, sol = sim_next(sol, key)
+    def mpc_round(sol, lin, key, resets):
+        x_meas, sol, resets = sim_next(sol, key, resets)
         if linwin:
-            return chunked(controller, x_meas, sol, lin)
-        return chunked(controller, x_meas, sol), None
+            sol, lin = chunked(controller, x_meas, sol, lin)
+        else:
+            sol = chunked(controller, x_meas, sol)
+        return sol, lin, resets
 
     key, sub = jax.random.split(kp)
     t0 = time.time()
-    sol, lin = mpc_round(sol, lin, sub)
+    sol, lin, resets = mpc_round(sol, lin, sub, resets)
     jax.block_until_ready(sol)
     log(f"mpc step compile+run: {time.time() - t0:.1f}s")
+
+    # FLOPs of one controller execution (chunk scenarios) for MFU
+    ctrl_args = (sol.xs[:, 1], sol) if not linwin else (sol.xs[:, 1], sol, lin)
+    flops_args = [jax.tree_util.tree_map(
+        lambda a: a if jnp.ndim(a) == 0 else a[:chunk], arg)
+        for arg in ctrl_args]
+    step_flops = _program_flops(controller, *flops_args)
 
     # timed steady-state MPC steps
     t0 = time.time()
     for _ in range(steps):
         key, sub = jax.random.split(key)
-        sol, lin = mpc_round(sol, lin, sub)
+        sol, lin, resets = mpc_round(sol, lin, sub, resets)
     jax.block_until_ready(sol)
     dt_total = time.time() - t0
     solves_per_s = B * steps / dt_total
 
+    viol = np.asarray(sol.max_violation)
+    conv = int((viol < tol).sum())
+    n_resets = int(resets)
+    mfu = None
+    if step_flops:
+        mfu = step_flops * (B / chunk) * steps / dt_total / PEAK_FLOPS
+
     log(f"steady: {steps} steps x {B} scenarios in {dt_total:.2f}s -> "
         f"{solves_per_s:.1f} solves/s")
-    log(f"mpc quality: mean iters {float(sol.iterations.mean()):.1f}, "
-        f"max viol {float(sol.max_violation.max()):.2e}, "
-        f"median viol {float(jnp.median(sol.max_violation)):.2e}")
+    log(f"mpc quality: in-tol {conv}/{B} ({100.0 * conv / B:.2f}%), "
+        f"max viol {viol.max():.2e}, p99 {np.quantile(viol, 0.99):.2e}, "
+        f"median {np.median(viol):.2e}, resets {n_resets}")
+    if mfu is not None:
+        log(f"mfu: {step_flops:.3e} flops/step-program -> {100 * mfu:.3f}% "
+            f"of {PEAK_FLOPS / 1e12:.0f} TFLOP/s")
 
     print(json.dumps({
         "metric": "quadrotor_mpc_batched",
         "value": round(solves_per_s, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_s / 1000.0, 3),
+        "rti_steps_per_s": round(solves_per_s, 1),
+        "cold_solves_per_s": round(cold_rate, 1),
+        "cold_converged_frac": round(conv0 / B, 4),
+        "cold_max_viol": float(f"{viol0.max():.3e}"),
+        "steady_in_tol_frac": round(conv / B, 4),
+        "steady_max_viol": float(f"{viol.max():.3e}"),
+        "steady_p99_viol": float(f"{np.quantile(viol, 0.99):.3e}"),
+        "steady_median_viol": float(f"{np.median(viol):.3e}"),
+        "resets_total": n_resets,
+        "mfu": round(mfu, 5) if mfu is not None else None,
     }))
 
 
