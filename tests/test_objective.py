@@ -67,3 +67,46 @@ def test_tracking_objective_and_update(rng):
     obj2 = update_trajectory(obj, Xr2, Ur2)
     assert float(obj2.cost(jnp.asarray(Xr2), jnp.asarray(Ur2))) == pytest.approx(0.0, abs=1e-9)
     assert float(obj2.cost(jnp.asarray(Xr), jnp.asarray(Ur))) > 1e-3
+
+
+def test_per_cost_diff_methods():
+    """Per-knot DiffMethod selection (objective.jl:32-34): mixed
+    analytic/ForwardAD/FiniteDifference engines agree on a quadratic
+    objective's expansion; an iLQR solve under each engine lands on the
+    same optimum."""
+    import trajopt_tpu as to
+    from trajopt_tpu.models import DoubleIntegrator
+    from trajopt_tpu.solvers import SolverOptions, iLQRSolver
+
+    rng = np.random.default_rng(11)
+    n, m, N = 4, 2, 9
+    xf = jnp.asarray(rng.standard_normal(n))
+    obj = to.LQRObjective(jnp.ones(n) + 1, jnp.ones(m), 5 * jnp.ones(n), xf, N)
+    xs = jnp.asarray(rng.standard_normal((N, n)))
+    us = jnp.asarray(rng.standard_normal((N, m)))
+    base = obj.expansion(xs, us)
+
+    mixed = obj.with_diff_methods(
+        ("analytic", "ad", "fd") * (N // 3))
+    assert mixed.diff_methods is not None
+    got = mixed.expansion(xs, us)
+    for name in ("xx", "uu", "ux", "x", "u", "c"):
+        assert np.allclose(getattr(got, name), getattr(base, name),
+                           atol=1e-6), name
+
+    # uniform "analytic" normalizes back to the fast path
+    assert obj.with_diff_methods("analytic").diff_methods is None
+    with pytest.raises(ValueError):
+        obj.with_diff_methods("nope")
+    with pytest.raises(ValueError):
+        obj.with_diff_methods(("ad",) * (N - 1))
+
+    # end-to-end: an AD-engine objective solves identically
+    model = DoubleIntegrator(d=2)
+    prob = to.Problem(model, obj.with_diff_methods("ad"), jnp.zeros(n), 2.0,
+                      xf=xf)
+    sol_ad = iLQRSolver(prob).solve()
+    prob2 = to.Problem(model, obj, jnp.zeros(n), 2.0, xf=xf)
+    sol = iLQRSolver(prob2).solve()
+    assert bool(sol_ad.converged)
+    assert np.allclose(np.asarray(sol_ad.us), np.asarray(sol.us), atol=1e-8)

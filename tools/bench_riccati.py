@@ -43,7 +43,8 @@ def timeit(name, fn, *args, reps=20):
 def main():
     from trajopt_tpu.ops.riccati_kernel import riccati_backward_batch_minor
 
-    Bt, T, n, m = (int(os.environ.get("RB_B", 2048)), 100, 13, 4)
+    Bt, T, n, m = (int(os.environ.get("RB_B", 2048)),
+                   int(os.environ.get("RB_T", 100)), 13, 4)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     dt = jnp.float32

@@ -42,10 +42,30 @@ class Objective:
 
     costs: Any  # stacked cost pytree; leaves (N, ...)
     N: int = struct.field(pytree_node=False)
+    # Per-knot derivative method (objective.jl:32-34 stores a DiffMethod per
+    # cost): None = every knot uses the cost type's hand-written expansion
+    # (the UserDefined/analytic rules); otherwise a length-N tuple of
+    # "analytic" | "ad" (forward-over-reverse AD of stage_cost, the
+    # reference's ForwardAD) | "fd" (central finite differences, the
+    # reference's FiniteDifference).  Static: resolved at trace time.
+    diff_methods: Any = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def from_costs(cls, costs: Sequence[Any]) -> "Objective":
         return cls(costs=_tree_stack(costs), N=len(costs))
+
+    def with_diff_methods(self, methods) -> "Objective":
+        """Set per-knot DiffMethods; a single string applies to all knots."""
+        if isinstance(methods, str):
+            methods = (methods,) * self.N
+        methods = tuple(methods)
+        if len(methods) != self.N:
+            raise ValueError(f"need {self.N} diff methods, got {len(methods)}")
+        bad = set(methods) - {"analytic", "ad", "fd"}
+        if bad:
+            raise ValueError(f"unknown diff methods {sorted(bad)}")
+        return self.replace(
+            diff_methods=None if set(methods) == {"analytic"} else methods)
 
     @classmethod
     def from_cost(cls, cost: Any, N: int) -> "Objective":
@@ -79,10 +99,103 @@ class Objective:
 
         Control blocks of the terminal knot are zeroed (the reference skips
         R/r/H terms at terminal knots, cost_functions.jl:141,160,221).
+        With ``diff_methods`` set, each knot's expansion comes from its
+        selected derivative engine; one vmapped pass runs per DISTINCT
+        method and a static mask selects rows, so the uniform case costs
+        exactly one pass.
         """
-        exp = jax.vmap(lambda c, x, u: c.expansion(x, u))(self.costs, xs, us)
-        term = self.cost_at(self.N - 1).term_expansion(xs[-1])
+        if self.diff_methods is None:
+            exp = jax.vmap(lambda c, x, u: c.expansion(x, u))(
+                self.costs, xs, us)
+            term = self.cost_at(self.N - 1).term_expansion(xs[-1])
+        else:
+            fns = {"analytic": lambda c, x, u: c.expansion(x, u),
+                   "ad": _expand_ad, "fd": _expand_fd}
+            tfns = {"analytic": lambda c, x: c.term_expansion(x),
+                    "ad": _term_expand_ad, "fd": _term_expand_fd}
+            exp = None
+            for meth in dict.fromkeys(self.diff_methods):  # ordered unique
+                e = jax.vmap(fns[meth])(self.costs, xs, us)
+                if exp is None:
+                    exp = e
+                else:
+                    mask = jnp.asarray(
+                        [m_ == meth for m_ in self.diff_methods])
+                    exp = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(
+                            mask.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
+                        exp, e)
+            term = tfns[self.diff_methods[-1]](self.cost_at(self.N - 1),
+                                               xs[-1])
         return jax.tree_util.tree_map(lambda a, t: a.at[-1].set(t), exp, term)
+
+
+def _expand_ad(cost, x, u) -> CostExpansion:
+    """ForwardAD engine: forward-over-reverse AD of ``stage_cost``
+    (src/TrajectoryOptimization.jl:22-23 ForwardAD)."""
+    f = lambda x_, u_: cost.stage_cost(x_, u_)
+    gx = jax.grad(f, argnums=0)(x, u)
+    gu = jax.grad(f, argnums=1)(x, u)
+    xx = jax.jacfwd(jax.grad(f, argnums=0), argnums=0)(x, u)
+    uu = jax.jacfwd(jax.grad(f, argnums=1), argnums=1)(x, u)
+    ux = jax.jacfwd(jax.grad(f, argnums=1), argnums=0)(x, u)
+    return CostExpansion(xx=xx, uu=uu, ux=ux, x=gx, u=gu, c=f(x, u))
+
+
+def _term_expand_ad(cost, x) -> CostExpansion:
+    f = lambda x_: cost.term_cost(x_)
+    gx = jax.grad(f)(x)
+    xx = jax.jacfwd(jax.grad(f))(x)
+    m = cost.m
+    n = x.shape[-1]
+    z = jnp.zeros
+    return CostExpansion(xx=xx, uu=z((m, m), x.dtype), ux=z((m, n), x.dtype),
+                         x=gx, u=z((m,), x.dtype), c=f(x))
+
+
+def _fd_grad(f, z, eps):
+    """Central-difference gradient of scalar ``f`` at ``z``."""
+    def one(i):
+        dz = jnp.zeros_like(z).at[i].set(eps)
+        return (f(z + dz) - f(z - dz)) / (2 * eps)
+    return jax.vmap(one)(jnp.arange(z.shape[-1]))
+
+
+def _expand_fd(cost, x, u) -> CostExpansion:
+    """FiniteDifference engine: central differences of ``stage_cost``
+    (the reference's FiniteDiff path)."""
+    n, m = x.shape[-1], u.shape[-1]
+    z0 = jnp.concatenate([x, u])
+    f = lambda z: cost.stage_cost(z[:n], z[n:])
+    eps = jnp.asarray(jnp.finfo(x.dtype).eps ** (1.0 / 3.0), x.dtype)
+    g = _fd_grad(f, z0, eps)
+    # wider step for the second differencing: truncation/roundoff balance
+    # for a double central difference is eps^(1/4)
+    e2 = jnp.asarray(jnp.finfo(x.dtype).eps ** 0.25, x.dtype)
+    H = jax.vmap(
+        lambda i: (_fd_grad(f, z0 + jnp.zeros_like(z0).at[i].set(e2), e2)
+                   - _fd_grad(f, z0 - jnp.zeros_like(z0).at[i].set(e2), e2))
+        / (2 * e2))(jnp.arange(n + m))
+    H = 0.5 * (H + H.T)
+    return CostExpansion(xx=H[:n, :n], uu=H[n:, n:], ux=H[n:, :n],
+                         x=g[:n], u=g[n:], c=f(z0))
+
+
+def _term_expand_fd(cost, x) -> CostExpansion:
+    n = x.shape[-1]
+    m = cost.m
+    f = lambda z: cost.term_cost(z)
+    eps = jnp.asarray(jnp.finfo(x.dtype).eps ** (1.0 / 3.0), x.dtype)
+    g = _fd_grad(f, x, eps)
+    e2 = jnp.asarray(jnp.finfo(x.dtype).eps ** 0.25, x.dtype)
+    H = jax.vmap(
+        lambda i: (_fd_grad(f, x + jnp.zeros_like(x).at[i].set(e2), e2)
+                   - _fd_grad(f, x - jnp.zeros_like(x).at[i].set(e2), e2))
+        / (2 * e2))(jnp.arange(n))
+    H = 0.5 * (H + H.T)
+    z = jnp.zeros
+    return CostExpansion(xx=H, uu=z((m, m), x.dtype), ux=z((m, n), x.dtype),
+                         x=g, u=z((m,), x.dtype), c=f(x))
 
 
 def LQRObjective(Q, R, Qf, xf, N: int, uf=None, dtype=None) -> Objective:
