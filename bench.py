@@ -107,20 +107,30 @@ def main():
     # single program exceeds a per-program device limit on this chip).
     chunk = min(B, int(os.environ.get("BENCH_CHUNK", 2048)))
     assert B % chunk == 0
+    # Cold solves use their own (smaller) chunk: a vmapped while_loop runs
+    # every scenario at the slowest lane's pace, so smaller cold chunks let
+    # easy chunks retire early; the fixed-schedule MPC step has no while_loop
+    # and amortizes dispatch best at the large chunk.
+    cold_chunk = min(B, int(os.environ.get("BENCH_COLD_CHUNK", chunk)))
+    assert B % cold_chunk == 0
     tf = 5.0
 
     # Cold-solve budget (VERDICT r1 #1): penalty_max capped at 1e6 — f32
     # AL stalls when mu crosses ~1e7 (CLAUDE.md) and saturated penalties
-    # poison the warm-started RTI steps; the outer/total budgets cover the
-    # slow tail (marginal scenarios converge at outer 9-14).
+    # poison the warm-started RTI steps; the slow tail (marginal scenarios
+    # converge at outer 9-14) is covered by HOST-DRIVEN continuation passes
+    # (BENCH_COLD_PASSES warm-started al_solve calls) rather than one giant
+    # device execution — a single >~2 min execution trips the axon tunnel's
+    # per-execution limit and surfaces as a TPU device fault.
     tol = 5e-4
+    cold_passes = int(os.environ.get("BENCH_COLD_PASSES", 4))
     cold_opts = dict(
         penalty_scaling=100.0, penalty_initial=0.1, penalty_max=1e6,
         constraint_tolerance=tol, cost_tolerance=1e-3,
         cost_tolerance_intermediate=1e-2, gradient_tolerance=1e-4,
         gradient_tolerance_intermediate=1e-3, bp_reg_initial=1e-6,
-        iterations=int(os.environ.get("BENCH_COLD_ITERS", 320)),
-        iterations_outer=int(os.environ.get("BENCH_COLD_OUTER", 16)),
+        iterations=int(os.environ.get("BENCH_COLD_ITERS", 120)),
+        iterations_outer=int(os.environ.get("BENCH_COLD_OUTER", 5)),
         iterations_inner=40,
         error_state=bool(int(os.environ.get("BENCH_ES", 0))),
         # stats=None keeps the solution pytree structure identical between
@@ -157,15 +167,16 @@ def main():
     us0 = jnp.full((B, N, m), hover, dtype)
 
     log(f"bench: B={B} N={N} dtype={dtype.__name__} chunk={chunk} "
-        f"es={cold_opts['error_state']} device={jax.devices()[0]}")
+        f"cold_chunk={cold_chunk} es={cold_opts['error_state']} "
+        f"device={jax.devices()[0]}")
 
-    def chunked(fn, *args):
+    def chunked(fn, *args, size=chunk):
         # 0-d leaves (the fleet-shared lin-carry refresh pointer) are
         # broadcast to every chunk and identical on the way out.
         outs = []
-        for i in range(0, B, chunk):
+        for i in range(0, B, size):
             sliced = [jax.tree_util.tree_map(
-                lambda a: a if jnp.ndim(a) == 0 else a[i:i + chunk], arg)
+                lambda a: a if jnp.ndim(a) == 0 else a[i:i + size], arg)
                 for arg in args]
             outs.append(fn(*sliced))
         return jax.tree_util.tree_map(
@@ -173,19 +184,56 @@ def main():
             else jnp.concatenate(xs, axis=0), *outs)
 
     # ---- cold solve: the to-tolerance batched rate (VERDICT r1 #4) -------
-    cold_solve = jax.jit(jax.vmap(
+    # Host-driven outer continuation: each pass is ONE bounded device
+    # execution; warm-started passes resume the AL outer loop (trajectory +
+    # duals + penalties carry over) until the fleet converges or the pass
+    # budget runs out.
+    cold_first = jax.jit(jax.vmap(
         lambda a, b: al_solve(dm, obj, blocks, a, b, times, dts, opts_cold)))
+    cold_cont = jax.jit(jax.vmap(
+        lambda a, s: al_solve(dm, obj, blocks, a, s.us, times, dts, opts_cold,
+                              xs_init=s.xs, duals_init=s.duals,
+                              penalties_init=s.penalties)))
+
+    def run_cold(n_passes):
+        # Per-chunk host-driven continuation with early retirement: a chunk
+        # whose scenarios are all converged skips the remaining passes
+        # (vmapped while_loops run at the slowest lane's pace, so retiring
+        # finished chunks early is the only way the easy 93% stop paying
+        # for the hard 7%).
+        sols, iters, used = [], [], 0
+        for i in range(0, B, cold_chunk):
+            x0c, usc = x0s[i:i + cold_chunk], us0[i:i + cold_chunk]
+            sol_c = cold_first(x0c, usc)
+            it_c = np.asarray(sol_c.iterations)
+            passes = 1
+            while (passes < n_passes
+                   and not bool(np.asarray(sol_c.converged).all())):
+                sol_c = cold_cont(x0c, sol_c)
+                it_c = it_c + np.asarray(sol_c.iterations)
+                passes += 1
+            sols.append(jax.block_until_ready(sol_c))
+            iters.append(it_c)
+            used = max(used, passes)
+        sol = jax.tree_util.tree_map(
+            lambda *xs: xs[0] if jnp.ndim(xs[0]) == 0
+            else jnp.concatenate(xs, axis=0), *sols)
+        return sol.replace(
+            iterations=jnp.asarray(np.concatenate(iters))), used
+
     t0 = time.time()
-    sol = jax.block_until_ready(chunked(cold_solve, x0s, us0))
+    sol, passes_used = run_cold(cold_passes)
     cold_s = time.time() - t0
-    # compile time is excluded from the rate: re-run once warm
+    # compile time is excluded from the rate: re-run once warm (same pass
+    # count as the first run so the two runs execute identical programs)
     t0 = time.time()
-    sol = jax.block_until_ready(chunked(cold_solve, x0s, us0))
+    sol, _ = run_cold(passes_used)
     cold_warm_s = time.time() - t0
     cold_rate = B / cold_warm_s
     viol0 = np.asarray(sol.max_violation)
     conv0 = int(np.asarray(sol.converged).sum())
-    log(f"cold solve: {cold_s:.1f}s first, {cold_warm_s:.1f}s warm -> "
+    log(f"cold solve: {cold_s:.1f}s first, {cold_warm_s:.1f}s warm "
+        f"({passes_used} passes) -> "
         f"{cold_rate:.1f} solves/s, converged {conv0}/{B} "
         f"({100.0 * conv0 / B:.2f}%), mean iters "
         f"{float(sol.iterations.mean()):.1f}, max viol {viol0.max():.2e}, "
