@@ -40,6 +40,11 @@ import numpy as np
 # bf16 peak even though most of this workload runs f32 — conservative and
 # unambiguous.
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+# v5e HBM bandwidth: 819 GB/s.  The RTI step is HBM-bound (tiny-matrix
+# algebra), so bytes-accessed/peak-BW is the meaningful speed-of-light
+# utilization; MFU is reported for completeness but reads near zero by
+# construction on this workload.
+PEAK_HBM_BW = float(os.environ.get("BENCH_PEAK_HBM_BW", 819e9))
 
 
 def log(*a):
@@ -80,18 +85,20 @@ def build(B, N, tf, dtype, opts_kw):
     return dm, obj, blocks, x0, times, dts, opts, n, m, hover
 
 
-def _program_flops(jitted, *args):
-    """FLOPs of one compiled execution via XLA cost analysis (None if the
-    backend does not expose it)."""
+def _program_costs(jitted, *args):
+    """(flops, bytes) of one compiled execution via XLA cost analysis
+    ((None, None) if the backend does not expose it).  Bytes matter more
+    than FLOPs here: the RTI step is small-matrix work, so HBM bandwidth —
+    not the MXU — is the speed-of-light axis (CLAUDE.md breakdown)."""
     try:
         cc = jitted.lower(*args).compile()
         ca = cc.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca["flops"])
+        return float(ca["flops"]), float(ca.get("bytes accessed", 0.0))
     except Exception as e:  # axon may not expose cost analysis
         log(f"cost_analysis unavailable ({type(e).__name__}: {e})")
-        return None
+        return None, None
 
 
 def main():
@@ -111,7 +118,7 @@ def main():
     # every scenario at the slowest lane's pace, so smaller cold chunks let
     # easy chunks retire early; the fixed-schedule MPC step has no while_loop
     # and amortizes dispatch best at the large chunk.
-    cold_chunk = min(B, int(os.environ.get("BENCH_COLD_CHUNK", chunk)))
+    cold_chunk = min(B, chunk, int(os.environ.get("BENCH_COLD_CHUNK", 256)))
     assert B % cold_chunk == 0
     tf = 5.0
 
@@ -123,9 +130,12 @@ def main():
     # device execution — a single >~2 min execution trips the axon tunnel's
     # per-execution limit and surfaces as a TPU device fault.
     tol = 5e-4
-    cold_passes = int(os.environ.get("BENCH_COLD_PASSES", 4))
+    cold_passes = int(os.environ.get("BENCH_COLD_PASSES", 6))
     cold_opts = dict(
-        penalty_scaling=100.0, penalty_initial=0.1, penalty_max=1e6,
+        penalty_scaling=100.0,
+        penalty_initial=float(os.environ.get("BENCH_COLD_PEN0", 0.1)),
+        penalty_max=1e6,
+        jacobian_mode=os.environ.get("BENCH_COLD_JM", "exact"),
         constraint_tolerance=tol, cost_tolerance=1e-3,
         cost_tolerance_intermediate=1e-2, gradient_tolerance=1e-4,
         gradient_tolerance_intermediate=1e-3, bp_reg_initial=1e-6,
@@ -218,8 +228,38 @@ def main():
         sol = jax.tree_util.tree_map(
             lambda *xs: xs[0] if jnp.ndim(xs[0]) == 0
             else jnp.concatenate(xs, axis=0), *sols)
-        return sol.replace(
-            iterations=jnp.asarray(np.concatenate(iters))), used
+        sol = sol.replace(iterations=jnp.asarray(np.concatenate(iters)))
+
+        # Straggler retry (fleet fault recovery, SURVEY.md §5: stateless
+        # per-solve => recovery = re-dispatch): scenarios still unconverged
+        # after the continuation passes re-solve ONCE from a perturbed
+        # initial guess with fresh duals (stuck tails are local-structure
+        # artifacts; a nudged restart breaks the ridge).
+        bad = np.flatnonzero(~np.asarray(sol.converged))
+        if 0 < bad.size:
+            pad = (-bad.size) % cold_chunk
+            idx = np.concatenate([bad, np.zeros(pad, bad.dtype)])
+            key_r = jax.random.PRNGKey(1)
+            us_r = us0[idx] * (1.0 + 0.02 * jax.random.normal(
+                key_r, us0[idx].shape, dtype))
+            sol_r = None
+            for j in range(0, idx.size, cold_chunk):
+                s = cold_first(x0s[idx[j:j + cold_chunk]],
+                               us_r[j:j + cold_chunk])
+                sol_r = s if sol_r is None else jax.tree_util.tree_map(
+                    lambda a, b: a if jnp.ndim(a) == 0
+                    else jnp.concatenate([a, b], axis=0), sol_r, s)
+            sol_r = jax.block_until_ready(sol_r)
+            take = np.asarray(sol_r.max_violation)[:bad.size] < np.asarray(
+                sol.max_violation)[bad]
+            sel = bad[take]
+            if sel.size:
+                src = np.flatnonzero(take)
+                sol = jax.tree_util.tree_map(
+                    lambda full, re_: full if jnp.ndim(full) == 0
+                    else full.at[sel].set(re_[:bad.size][src]), sol, sol_r)
+            used += 1
+        return sol, used
 
     t0 = time.time()
     sol, passes_used = run_cold(cold_passes)
@@ -302,7 +342,7 @@ def main():
     flops_args = [jax.tree_util.tree_map(
         lambda a: a if jnp.ndim(a) == 0 else a[:chunk], arg)
         for arg in ctrl_args]
-    step_flops = _program_flops(controller, *flops_args)
+    step_flops, step_bytes = _program_costs(controller, *flops_args)
 
     # timed steady-state MPC steps
     t0 = time.time()
@@ -316,9 +356,11 @@ def main():
     viol = np.asarray(sol.max_violation)
     conv = int((viol < tol).sum())
     n_resets = int(resets)
-    mfu = None
+    mfu = hbm_util = None
     if step_flops:
         mfu = step_flops * (B / chunk) * steps / dt_total / PEAK_FLOPS
+    if step_bytes:
+        hbm_util = step_bytes * (B / chunk) * steps / dt_total / PEAK_HBM_BW
 
     log(f"steady: {steps} steps x {B} scenarios in {dt_total:.2f}s -> "
         f"{solves_per_s:.1f} solves/s")
@@ -328,6 +370,9 @@ def main():
     if mfu is not None:
         log(f"mfu: {step_flops:.3e} flops/step-program -> {100 * mfu:.3f}% "
             f"of {PEAK_FLOPS / 1e12:.0f} TFLOP/s")
+    if hbm_util is not None:
+        log(f"hbm: {step_bytes:.3e} bytes/step-program -> "
+            f"{100 * hbm_util:.1f}% of {PEAK_HBM_BW / 1e9:.0f} GB/s")
 
     print(json.dumps({
         "metric": "quadrotor_mpc_batched",
@@ -344,6 +389,7 @@ def main():
         "steady_median_viol": float(f"{np.median(viol):.3e}"),
         "resets_total": n_resets,
         "mfu": round(mfu, 5) if mfu is not None else None,
+        "hbm_bw_util": round(hbm_util, 4) if hbm_util is not None else None,
     }))
 
 
