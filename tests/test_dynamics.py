@@ -103,6 +103,65 @@ def test_quadrotor_error_state(rng):
     assert np.allclose(model.state_diff(x, x), 0.0, atol=1e-12)
 
 
+def test_errstate_structured_transforms_match_dense(rng):
+    """The structured blockdiag(I, G, I) transforms (_es_rows/_es_cols/
+    _es_vec, Model.errstate_block) reproduce the dense E(x) einsums to
+    machine precision, and _backward_pass yields identical gains whether
+    the model advertises the structured block or falls back to dense E."""
+    from trajopt_tpu import LQRObjective, discretize
+    from trajopt_tpu.solvers import SolverOptions
+    from trajopt_tpu.solvers.ilqr import (_backward_pass, _es_cols, _es_rows,
+                                          _es_vec)
+
+    model = Quadrotor()
+    N = 6
+    xs = jnp.asarray(rng.standard_normal((N, 13)))
+    xs = xs.at[:, 3:7].set(
+        xs[:, 3:7] / jnp.linalg.norm(xs[:, 3:7], axis=-1, keepdims=True))
+    E = jax.vmap(model.errstate_jacobian)(xs)          # (N, 13, 12)
+    G = jax.vmap(model.errstate_G)(xs)                 # (N, 4, 3)
+    r0, r1 = model.errstate_block
+
+    A = jnp.asarray(rng.standard_normal((N, 13, 13)))
+    Bm = jnp.asarray(rng.standard_normal((N, 13, 4)))
+    lxx = jnp.asarray(rng.standard_normal((N, 13, 13)))
+    lux = jnp.asarray(rng.standard_normal((N, 4, 13)))
+    lx = jnp.asarray(rng.standard_normal((N, 13)))
+
+    dense_A = jnp.einsum("kij,kil,kjp->klp", A, E, E)
+    struct_A = _es_rows(G, _es_cols(G, A, r0, r1), r0, r1)
+    assert np.allclose(dense_A, struct_A, atol=1e-12)
+    assert np.allclose(jnp.einsum("kij,kil->klj", Bm, E),
+                       _es_rows(G, Bm, r0, r1), atol=1e-12)
+    assert np.allclose(jnp.einsum("kij,kip,kjq->kpq", lxx, E, E),
+                       _es_rows(G, _es_cols(G, lxx, r0, r1), r0, r1),
+                       atol=1e-12)
+    assert np.allclose(jnp.einsum("kmi,kip->kmp", lux, E),
+                       _es_cols(G, lux, r0, r1), atol=1e-12)
+    assert np.allclose(jnp.einsum("ki,kip->kp", lx, E),
+                       _es_vec(G, lx, r0, r1), atol=1e-12)
+
+    # end-to-end: identical backward-pass gains via a real expansion
+    class DenseQuad(Quadrotor):
+        errstate_block = None
+
+    us = 0.1 * jnp.asarray(rng.random((N, 4)))
+    times = jnp.linspace(0, 0.5, N)
+    dts = jnp.full(N, 0.1).at[-1].set(0.0)
+    xf = Quadrotor.build_state([0.0, 1.0, 1.0])
+    obj = LQRObjective(jnp.ones(13), jnp.ones(4), 10.0 * jnp.ones(13), xf, N)
+    opts = SolverOptions(error_state=True)
+    rho = jnp.zeros(())
+    outs = []
+    for m in (Quadrotor(), DenseQuad()):
+        dm = discretize(m, "rk4")
+        outs.append(_backward_pass(dm, obj.expansion, xs, us, times, dts,
+                                   rho, rho, opts))
+    assert outs[0].K.shape[-1] == 12
+    assert np.allclose(outs[0].K, outs[1].K, atol=1e-10)
+    assert np.allclose(outs[0].d, outs[1].d, atol=1e-10)
+
+
 def test_jacobian_chain_matches_jacfwd(rng):
     """The integrator chain rule (jacobian_mode='chain') is machine-precision
     identical to AD through the step, for rk4 and rk3."""

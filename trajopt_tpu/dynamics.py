@@ -86,6 +86,20 @@ class Model:
         """E(x): (n, errstate_dim) Jacobian of retraction at x."""
         return jnp.eye(self.n, dtype=x.dtype)
 
+    #: Structured error-state marker: ``None`` (dense E(x) einsums) or a
+    #: static ``(r0, r1)`` row range meaning E(x) is block-diagonal
+    #: ``[I_{r0}, G(x), I_{n-r1}]`` with the only non-identity block given
+    #: by :meth:`errstate_G`.  Solvers then transform expansions with
+    #: static slice concats + tiny G matmuls instead of materializing
+    #: (B, N, n, nt) E tensors — measured 5.7x on the RTI MPC hot loop
+    #: (dense ES einsums: 6.7k vs 38k solves/s, v5e B=2048).
+    errstate_block = None
+
+    def errstate_G(self, x: jax.Array) -> jax.Array:
+        """The (r1-r0, r1-r0-1) non-identity block of E(x) when
+        ``errstate_block`` is set (e.g. the quaternion attitude Jacobian)."""
+        raise NotImplementedError
+
 
 # ---------------------------------------------------------------------------
 # Integrators

@@ -141,6 +141,14 @@ class Quadrotor(Model):
         E = E.at[7:13, 6:12].set(jnp.eye(6, dtype=x.dtype))
         return E
 
+    # Structured form of the same E(x): blockdiag(I3, G(q), I6) — lets the
+    # solver transform expansions without materializing E (dynamics.Model
+    # errstate_block protocol).
+    errstate_block = (3, 7)
+
+    def errstate_G(self, x):
+        return attitude_jacobian(x[3:7])
+
     @staticmethod
     def build_state(pos, quat=(1.0, 0, 0, 0), vel=(0.0, 0, 0), omega=(0.0, 0, 0)):
         return jnp.concatenate(

@@ -60,6 +60,35 @@ def _use_errstate(model: DiscreteModel, opts: SolverOptions) -> bool:
     return opts.error_state and model.model.errstate_dim != model.n
 
 
+# -- structured error-state transforms (Model.errstate_block) ---------------
+# E(x) = blockdiag(I_{r0}, G(x), I_{n-r1}); all three helpers apply the
+# transform with static slice concats + one tiny G contraction instead of
+# dense (n, nt) einsums — no E tensor is ever materialized.
+
+def _es_rows(G, M, r0, r1):
+    """E(x)^T M along axis -2 (G: (k, p, q), M: (k, n, j))."""
+    return jnp.concatenate([
+        M[..., :r0, :],
+        jnp.einsum("kpq,kpj->kqj", G, M[..., r0:r1, :]),
+        M[..., r1:, :]], axis=-2)
+
+
+def _es_cols(G, M, r0, r1):
+    """M E(x) along axis -1 (G: (k, p, q), M: (k, i, n))."""
+    return jnp.concatenate([
+        M[..., :r0],
+        jnp.einsum("kip,kpq->kiq", M[..., r0:r1], G),
+        M[..., r1:]], axis=-1)
+
+
+def _es_vec(G, v, r0, r1):
+    """E(x)^T v (G: (k, p, q), v: (k, n))."""
+    return jnp.concatenate([
+        v[..., :r0],
+        jnp.einsum("kpq,kp->kq", G, v[..., r0:r1]),
+        v[..., r1:]], axis=-1)
+
+
 def _linearize_knots(model: DiscreteModel, xk, uk, tk, dtk,
                      opts: SolverOptions):
     """Batched discrete Jacobians at an explicit set of knots.
@@ -153,14 +182,29 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
     exp = expand_fn(xs, us)
 
     if _use_errstate(model, opts):
-        E = jax.vmap(model.model.errstate_jacobian)(xs)        # (N, n, nt)
-        A = jnp.einsum("kij,kil,kjp->klp", A, E[1:], E[:-1])   # E'^T A E
-        B = jnp.einsum("kij,kil->klj", B, E[1:])               # E'^T B
-        exp = exp.replace(
-            x=jnp.einsum("ki,kip->kp", exp.x, E),
-            xx=jnp.einsum("kij,kip,kjq->kpq", exp.xx, E, E),
-            ux=jnp.einsum("kmi,kip->kmp", exp.ux, E),
-        )
+        blk = getattr(model.model, "errstate_block", None)
+        if blk is not None:
+            # Structured path: E = blockdiag(I, G(x), I).  Same math as the
+            # dense einsums below up to reassociation, at a fraction of the
+            # HBM traffic (no (N, n, nt) E tensors, no 3-operand einsums).
+            r0, r1 = blk
+            G = jax.vmap(model.model.errstate_G)(xs)           # (N, p, q)
+            A = _es_rows(G[1:], _es_cols(G[:-1], A, r0, r1), r0, r1)
+            B = _es_rows(G[1:], B, r0, r1)
+            exp = exp.replace(
+                x=_es_vec(G, exp.x, r0, r1),
+                xx=_es_rows(G, _es_cols(G, exp.xx, r0, r1), r0, r1),
+                ux=_es_cols(G, exp.ux, r0, r1),
+            )
+        else:
+            E = jax.vmap(model.model.errstate_jacobian)(xs)        # (N, n, nt)
+            A = jnp.einsum("kij,kil,kjp->klp", A, E[1:], E[:-1])   # E'^T A E
+            B = jnp.einsum("kij,kil->klj", B, E[1:])               # E'^T B
+            exp = exp.replace(
+                x=jnp.einsum("ki,kip->kp", exp.x, E),
+                xx=jnp.einsum("kij,kip,kjq->kpq", exp.xx, E, E),
+                ux=jnp.einsum("kmi,kip->kmp", exp.ux, E),
+            )
 
     def run_once(rho):
         Vx = exp.x[-1]
