@@ -205,71 +205,100 @@ def main():
                               xs_init=s.xs, duals_init=s.duals,
                               penalties_init=s.penalties)))
 
-    def run_cold(n_passes):
-        # Per-chunk host-driven continuation with early retirement: a chunk
-        # whose scenarios are all converged skips the remaining passes
-        # (vmapped while_loops run at the slowest lane's pace, so retiring
-        # finished chunks early is the only way the easy 93% stop paying
-        # for the hard 7%).
-        sols, iters, used = [], [], 0
-        for i in range(0, B, cold_chunk):
-            x0c, usc = x0s[i:i + cold_chunk], us0[i:i + cold_chunk]
-            sol_c = cold_first(x0c, usc)
-            it_c = np.asarray(sol_c.iterations)
-            passes = 1
-            while (passes < n_passes
-                   and not bool(np.asarray(sol_c.converged).all())):
-                sol_c = cold_cont(x0c, sol_c)
-                it_c = it_c + np.asarray(sol_c.iterations)
-                passes += 1
-            sols.append(jax.block_until_ready(sol_c))
-            iters.append(it_c)
-            used = max(used, passes)
-        sol = jax.tree_util.tree_map(
+    def _tree_concat(parts):
+        return jax.tree_util.tree_map(
             lambda *xs: xs[0] if jnp.ndim(xs[0]) == 0
-            else jnp.concatenate(xs, axis=0), *sols)
-        sol = sol.replace(iterations=jnp.asarray(np.concatenate(iters)))
+            else jnp.concatenate(xs, axis=0), *parts)
+
+    def _tree_take(tree, ids):
+        return jax.tree_util.tree_map(
+            lambda a: a if jnp.ndim(a) == 0 else a[ids], tree)
+
+    def _tree_put(tree, ids, part):
+        return jax.tree_util.tree_map(
+            lambda full, re_: full if jnp.ndim(full) == 0
+            else full.at[ids].set(re_[:len(ids)]), tree, part)
+
+    def run_cold(cont_budget, retry_allowed=True):
+        """Cold-solve the fleet: 1 first pass + up to ``cont_budget - 1``
+        COMPACTED continuation passes + an optional straggler retry.
+
+        Cross-pass compaction (VERDICT r2 #3): after each pass the still-
+        unconverged scenarios are gathered into dense chunks, so converged
+        scenarios stop paying for the stragglers' continuation (a vmapped
+        while_loop runs every lane at the slowest lane's pace).
+
+        Returns (sol, cont_passes_used, did_retry) — the retry is counted
+        SEPARATELY from the continuation budget so a warm re-run can
+        execute the identical program sequence (ADVICE r2 #1).
+        """
+        sols = []
+        for i in range(0, B, cold_chunk):
+            sols.append(jax.block_until_ready(
+                cold_first(x0s[i:i + cold_chunk], us0[i:i + cold_chunk])))
+        sol = _tree_concat(sols)
+        iters = np.asarray(sol.iterations, dtype=np.int64).copy()
+        cont_passes = 1
+        while cont_passes < cont_budget:
+            bad = np.flatnonzero(~np.asarray(sol.converged))
+            if bad.size == 0:
+                break
+            pad = (-bad.size) % cold_chunk
+            idx = np.concatenate([bad, np.zeros(pad, bad.dtype)])
+            outs = []
+            for j in range(0, idx.size, cold_chunk):
+                ids = idx[j:j + cold_chunk]
+                outs.append(jax.block_until_ready(
+                    cold_cont(x0s[ids], _tree_take(sol, ids))))
+            part = _tree_concat(outs)
+            iters[bad] += np.asarray(part.iterations)[:bad.size]
+            sol = _tree_put(sol, bad, part)
+            cont_passes += 1
 
         # Straggler retry (fleet fault recovery, SURVEY.md §5: stateless
         # per-solve => recovery = re-dispatch): scenarios still unconverged
         # after the continuation passes re-solve ONCE from a perturbed
         # initial guess with fresh duals (stuck tails are local-structure
         # artifacts; a nudged restart breaks the ridge).
+        did_retry = False
         bad = np.flatnonzero(~np.asarray(sol.converged))
-        if 0 < bad.size:
+        if retry_allowed and 0 < bad.size:
             pad = (-bad.size) % cold_chunk
             idx = np.concatenate([bad, np.zeros(pad, bad.dtype)])
             key_r = jax.random.PRNGKey(1)
             us_r = us0[idx] * (1.0 + 0.02 * jax.random.normal(
                 key_r, us0[idx].shape, dtype))
-            sol_r = None
+            outs = []
             for j in range(0, idx.size, cold_chunk):
-                s = cold_first(x0s[idx[j:j + cold_chunk]],
-                               us_r[j:j + cold_chunk])
-                sol_r = s if sol_r is None else jax.tree_util.tree_map(
-                    lambda a, b: a if jnp.ndim(a) == 0
-                    else jnp.concatenate([a, b], axis=0), sol_r, s)
-            sol_r = jax.block_until_ready(sol_r)
+                outs.append(jax.block_until_ready(
+                    cold_first(x0s[idx[j:j + cold_chunk]],
+                               us_r[j:j + cold_chunk])))
+            sol_r = _tree_concat(outs)
             take = np.asarray(sol_r.max_violation)[:bad.size] < np.asarray(
                 sol.max_violation)[bad]
             sel = bad[take]
             if sel.size:
                 src = np.flatnonzero(take)
-                sol = jax.tree_util.tree_map(
-                    lambda full, re_: full if jnp.ndim(full) == 0
-                    else full.at[sel].set(re_[:bad.size][src]), sol, sol_r)
-            used += 1
-        return sol, used
+                sol = _tree_put(sol, sel,
+                                _tree_take(sol_r, src))
+            # total-work accounting: the retry's iterations ADD to the
+            # accumulated count for every retried scenario (ADVICE r2 #2)
+            iters[bad] += np.asarray(sol_r.iterations)[:bad.size]
+            did_retry = True
+        sol = sol.replace(iterations=jnp.asarray(iters))
+        return sol, cont_passes, did_retry
 
     t0 = time.time()
-    sol, passes_used = run_cold(cold_passes)
+    sol, cont_used, did_retry = run_cold(cold_passes)
     cold_s = time.time() - t0
-    # compile time is excluded from the rate: re-run once warm (same pass
-    # count as the first run so the two runs execute identical programs)
+    # compile time is excluded from the rate: re-run once warm with the
+    # SAME continuation budget and retry decision so the two runs execute
+    # identical program sequences (ADVICE r2 #1)
     t0 = time.time()
-    sol, _ = run_cold(passes_used)
+    sol, _, _ = run_cold(cont_used, retry_allowed=did_retry)
     cold_warm_s = time.time() - t0
     cold_rate = B / cold_warm_s
+    passes_used = cont_used + int(did_retry)
     viol0 = np.asarray(sol.max_violation)
     conv0 = int(np.asarray(sol.converged).sum())
     log(f"cold solve: {cold_s:.1f}s first, {cold_warm_s:.1f}s warm "
@@ -362,6 +391,79 @@ def main():
     if step_bytes:
         hbm_util = step_bytes * (B / chunk) * steps / dt_total / PEAK_HBM_BW
 
+    # ---- secondary BASELINE configs (VERDICT r2 #6): batched cold-solve
+    # rates for cartpole swing-up and the rocket soft-landing SOCP --------
+    def secondary_cold(name, builder, B2, opts2_kw, passes2):
+        from trajopt_tpu.solvers import SolverOptions as SO
+        from trajopt_tpu.solvers.altro import _problem_blocks
+        from trajopt_tpu.utils.host import to_host
+
+        prob = builder(dtype=dtype)
+        blocks2 = _problem_blocks(prob)
+        opts2 = SO(**opts2_kw)
+        dm2, obj2, blocks2, x02, times2, dts2 = to_host(
+            (prob.model, prob.obj, blocks2, prob.x0, prob.times, prob.dts))
+        n2, m2 = prob.n, prob.m
+        N2 = prob.N
+        key2 = jax.random.PRNGKey(7)
+        x0s2 = x02[None, :] + 0.05 * jax.random.normal(key2, (B2, n2), dtype)
+        us02 = jnp.tile(np.asarray(prob.us)[None, :, :].astype(dtype),
+                        (B2, 1, 1))
+        first = jax.jit(jax.vmap(lambda a, b: al_solve(
+            dm2, obj2, blocks2, a, b, times2, dts2, opts2)))
+        cont = jax.jit(jax.vmap(lambda a, s: al_solve(
+            dm2, obj2, blocks2, a, s.us, times2, dts2, opts2,
+            xs_init=s.xs, duals_init=s.duals, penalties_init=s.penalties)))
+
+        def run2():
+            # small fleets: continuation on the full batch (one program;
+            # compaction buys nothing at B2 <= one chunk)
+            s = jax.block_until_ready(first(x0s2, us02))
+            p = 1
+            while p < passes2 and not bool(np.asarray(s.converged).all()):
+                s = jax.block_until_ready(cont(x0s2, s))
+                p += 1
+            return s, p
+
+        t0 = time.time()
+        s2, p2 = run2()
+        compile_s = time.time() - t0
+        t0 = time.time()
+        s2, _ = run2()
+        warm_s = time.time() - t0
+        rate2 = B2 / warm_s
+        v2 = np.asarray(s2.max_violation)
+        conv2 = int(np.asarray(s2.converged).sum())
+        log(f"{name}: {compile_s:.1f}s first, {warm_s:.2f}s warm ({p2} passes) "
+            f"-> {rate2:.1f} solves/s, converged {conv2}/{B2}, "
+            f"max viol {v2.max():.2e}, p99 {np.quantile(v2, 0.99):.2e}")
+        return rate2, conv2 / B2, float(v2.max())
+
+    secondary = {}
+    if int(os.environ.get("BENCH_SECONDARY", 1)):
+        from trajopt_tpu import benchmarks
+        B2 = int(os.environ.get("BENCH_B2", 512))
+        base2 = dict(constraint_tolerance=tol, cost_tolerance=1e-3,
+                     cost_tolerance_intermediate=1e-2,
+                     gradient_tolerance=1e-4,
+                     gradient_tolerance_intermediate=1e-3,
+                     bp_reg_initial=1e-6, penalty_max=1e6,
+                     record_stats=False, error_state=False)
+        r, cf, mv = secondary_cold(
+            "cartpole_cold", benchmarks.cartpole_swingup, B2,
+            dict(base2, iterations=150, iterations_outer=8,
+                 iterations_inner=40), 3)
+        secondary.update(cartpole_cold_solves_per_s=round(r, 1),
+                         cartpole_cold_converged_frac=round(cf, 4),
+                         cartpole_cold_max_viol=float(f"{mv:.3e}"))
+        r, cf, mv = secondary_cold(
+            "rocket_cold", benchmarks.rocket_landing, B2,
+            dict(base2, iterations=150, iterations_outer=8,
+                 iterations_inner=40, penalty_initial=10.0), 3)
+        secondary.update(rocket_cold_solves_per_s=round(r, 1),
+                         rocket_cold_converged_frac=round(cf, 4),
+                         rocket_cold_max_viol=float(f"{mv:.3e}"))
+
     log(f"steady: {steps} steps x {B} scenarios in {dt_total:.2f}s -> "
         f"{solves_per_s:.1f} solves/s")
     log(f"mpc quality: in-tol {conv}/{B} ({100.0 * conv / B:.2f}%), "
@@ -390,6 +492,7 @@ def main():
         "resets_total": n_resets,
         "mfu": round(mfu, 5) if mfu is not None else None,
         "hbm_bw_util": round(hbm_util, 4) if hbm_util is not None else None,
+        **secondary,
     }))
 
 

@@ -240,3 +240,25 @@ def test_passive_state_columns(rng):
         u = jnp.asarray(rng.standard_normal(model.m))
         Af = jax.jacfwd(model.dynamics, argnums=0)(x, u, 0.0)
         assert np.allclose(Af[:, :npas], 0.0, atol=0.0), type(model).__name__
+
+
+def test_quadrotor_batched_analytic_jacobian(rng):
+    """dynamics_jacobian_batch (scatter-free concat assembly, the
+    jacobian_mode="analytic1"/"analytic2" fast path) matches both the
+    per-item closed form and jacfwd to round-off."""
+    from trajopt_tpu.models import Quadrotor
+
+    m = Quadrotor()
+    xs = jnp.asarray(rng.standard_normal((7, 13)))
+    xs = xs.at[:, 3:7].set(
+        xs[:, 3:7] / jnp.linalg.norm(xs[:, 3:7], axis=-1, keepdims=True))
+    us = jnp.asarray(rng.uniform(0.1, 2.0, (7, 4)))
+    ts = jnp.zeros(7)
+    Af, Bf = m.dynamics_jacobian_batch(xs, us, ts)
+    Af_i, Bf_i = jax.vmap(m.dynamics_jacobian)(xs, us, ts)
+    Af_ad = jax.vmap(jax.jacfwd(m.dynamics, argnums=0))(xs, us, ts)
+    Bf_ad = jax.vmap(jax.jacfwd(m.dynamics, argnums=1))(xs, us, ts)
+    assert np.allclose(Af, Af_i, atol=1e-12)
+    assert np.allclose(Bf, Bf_i, atol=1e-12)
+    assert np.allclose(Af, Af_ad, atol=1e-12)
+    assert np.allclose(Bf, Bf_ad, atol=1e-12)

@@ -72,6 +72,18 @@ class Model:
         Bf = jax.jacfwd(self.dynamics, argnums=1)(x, u, t)
         return Af, Bf
 
+    def dynamics_jacobian_batch(self, xs, us, ts):
+        """Batched (Af, Bf) over a leading K axis.
+
+        Default: vmap of :meth:`dynamics_jacobian`.  Models with closed
+        forms should override with a SCATTER-FREE assembly (stack/concat of
+        dense blocks — never ``.at[].set``, which XLA lowers to scatters;
+        see models/quadrotor.py) so the hottest linearization stage skips
+        the jacfwd tangent traffic entirely
+        (``SolverOptions(jacobian_mode="analytic1"/"analytic2")``).
+        """
+        return jax.vmap(self.dynamics_jacobian)(xs, us, ts)
+
     # -- error-state (Lie-group) protocol; Euclidean defaults ----------------
     # Quaternion-state models override these (RobotDynamics state_diff /
     # errstate_dim / errstate_jacobian, SURVEY.md §2.2).
@@ -91,13 +103,18 @@ class Model:
     #: ``[I_{r0}, G(x), I_{n-r1}]`` with the only non-identity block given
     #: by :meth:`errstate_G`.  Solvers then transform expansions with
     #: static slice concats + tiny G matmuls instead of materializing
-    #: (B, N, n, nt) E tensors — measured 5.7x on the RTI MPC hot loop
-    #: (dense ES einsums: 6.7k vs 38k solves/s, v5e B=2048).
+    #: (B, N, n, nt) E tensors.  Context: the DENSE error-state einsums
+    #: measured 5.7x slower than no-error-state on the RTI MPC hot loop
+    #: (6.7k vs 38k solves/s, v5e B=2048, 2026-08-20); the structured
+    #: block exists to close that gap — see PARITY.md for its own TPU
+    #: measurement.
     errstate_block = None
 
     def errstate_G(self, x: jax.Array) -> jax.Array:
-        """The (r1-r0, r1-r0-1) non-identity block of E(x) when
-        ``errstate_block`` is set (e.g. the quaternion attitude Jacobian)."""
+        """The non-identity block of E(x) when ``errstate_block = (r0, r1)``
+        is set: shape ``(p, q)`` with ``p = r1 - r0`` and
+        ``q = p - (n - errstate_dim)`` (e.g. the (4, 3) quaternion attitude
+        Jacobian of the quadrotor's 13->12 error state)."""
         raise NotImplementedError
 
 

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..dynamics import DiscreteModel
 from ..objective import Objective
-from ..solvers.al import ALSolution, ConstraintBlock, al_solve
+from ..solvers.al import ALSolution, ConstraintBlock
+from ..solvers.altro import altro_solve
 from ..solvers.options import SolverOptions
 
 __all__ = ["batch_solve", "make_batch_solver"]
@@ -50,7 +51,7 @@ def make_batch_solver(
     model, blocks, times, dts = to_host((model, blocks, times, dts))
 
     def _solve_one(obj_, x0, us0):
-        return al_solve(model, obj_, blocks, x0, us0, times, dts, opts)
+        return altro_solve(model, obj_, blocks, x0, us0, times, dts, opts)
 
     obj_axis = 0 if batch_objective else None
     vmapped = jax.vmap(_solve_one, in_axes=(obj_axis, 0, 0))

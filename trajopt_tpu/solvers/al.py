@@ -361,11 +361,17 @@ def al_solve(
         outer: jax.Array
         converged: jax.Array
         failed: jax.Array
+        best_xs: jax.Array
+        best_us: jax.Array
+        best_J: jax.Array
+        best_viol: jax.Array
         stats: Any
 
     def cond(s: Carry):
         return (~s.converged) & (s.outer < opts.iterations_outer) \
             & (s.inner_iters < opts.iterations)
+
+    tol = opts.constraint_tolerance
 
     def body(s: Carry):
         cost_fn, expand_fn = make_al_functions(
@@ -379,20 +385,55 @@ def al_solve(
         )
         cvals = eval_blocks(blocks, res.xs, res.us)
         viol = max_violation_blocks(blocks, cvals)
-        lams_n = update_duals(blocks, s.lams, s.mus, cvals, opts)
-        converged = viol < opts.constraint_tolerance
+        J_true = obj.cost(res.xs, res.us)
+
+        # -- divergence safeguard (outer-iterate rejection) ------------------
+        # An inner solve can descend the weakly-penalized AL merit into an
+        # iterate far outside the constraint set and wedge there (the line
+        # search then cannot move, and duals/penalties computed at such an
+        # iterate are garbage that no later outer iteration recovers from).
+        # When the violation blows up past any plausible AL excursion —
+        # relative to the best violation seen or in absolute terms —
+        # REJECT the step: keep the previous (accepted) iterate, keep the
+        # old duals, and force a penalty escalation so the next inner solve
+        # sees a stiffer (better-conditioned) subproblem from a sane start.
+        reject = opts.al_safeguard & (
+            (viol > jnp.maximum(opts.al_reject_ratio * s.best_viol,
+                                jnp.asarray(opts.al_reject_floor, dtype)))
+            | ~jnp.isfinite(viol))
+
+        lams_upd = update_duals(blocks, s.lams, s.mus, cvals, opts)
+        lams_n = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(reject, old, new), s.lams, lams_upd)
+        converged = (~reject) & (viol < tol)
         # Scale penalties only while infeasible, and (conditional/Bertsekas
         # update) only when the violation is not already shrinking fast
-        # enough for dual updates alone.
+        # enough for dual updates alone.  A rejected step ALWAYS escalates.
         if opts.penalty_conditional:
-            keep = converged | (viol < opts.penalty_conditional_ratio * s.viol)
+            keep = converged | (
+                (~reject) & (viol < opts.penalty_conditional_ratio * s.viol))
         else:
             keep = converged
         mus_n = jax.tree_util.tree_map(
             lambda new, old: jnp.where(keep, old, new),
             update_penalties(s.mus, opts), s.mus,
         )
-        J_true = obj.cost(res.xs, res.us)
+        xs_n = jnp.where(reject, s.xs, res.xs)
+        us_n = jnp.where(reject, s.us, res.us)
+        J_n = jnp.where(reject, s.J, J_true)
+        viol_n = jnp.where(reject, s.viol, viol)
+        # Best-iterate backstop, PARETO ordering: update only when the new
+        # iterate dominates (no worse in BOTH violation and cost, strictly
+        # better in one).  Cost comparisons across different feasibility
+        # levels are meaningless (less feasible usually means cheaper), so
+        # domination is the only safe total refinement; the exit guard
+        # below uses it purely as a second line of defense.
+        better = (~reject) & (viol <= s.best_viol) & (J_true <= s.best_J) \
+            & ((viol < s.best_viol) | (J_true < s.best_J))
+        best_xs = jnp.where(better, res.xs, s.best_xs)
+        best_us = jnp.where(better, res.us, s.best_us)
+        best_J = jnp.where(better, J_true, s.best_J)
+        best_viol = jnp.where(better, viol, s.best_viol)
         if opts.record_stats:
             mu_max = jnp.max(jnp.stack([jnp.max(mu) for mu in mus_n]))
             i = jnp.minimum(s.outer, O - 1)
@@ -408,30 +449,57 @@ def al_solve(
         else:
             stats_n = None
         return Carry(
-            xs=res.xs, us=res.us, lams=lams_n, mus=mus_n, J=J_true, viol=viol,
+            xs=xs_n, us=us_n, lams=lams_n, mus=mus_n, J=J_n, viol=viol_n,
             grad=res.gradient, inner_iters=s.inner_iters + res.iterations,
             outer=s.outer + 1, converged=converged,
-            failed=res.failed, stats=stats_n,
+            failed=res.failed & (~reject),
+            best_xs=best_xs, best_us=best_us, best_J=best_J,
+            best_viol=best_viol, stats=stats_n,
         )
 
+    J_init = obj.cost(xs0, us_init)
+    viol_init = max_violation_blocks(blocks, eval_blocks(blocks, xs0, us_init))
     init = Carry(
         xs=xs0, us=us_init, lams=lams, mus=mus,
-        J=obj.cost(xs0, us_init),
+        J=J_init,
         viol=jnp.full((), jnp.inf, dtype),
         grad=jnp.full((), jnp.inf, dtype),
         inner_iters=jnp.zeros((), jnp.int32),
         outer=jnp.zeros((), jnp.int32),
         converged=jnp.array(False),
         failed=jnp.array(False),
+        best_xs=xs0, best_us=us_init, best_J=J_init,
+        best_viol=viol_init.astype(dtype),
         stats=_empty_stats(),
     )
     out = jax.lax.while_loop(cond, body, init)
 
+    def _best_guard(xs_f, us_f, J_f, viol_f, grad_f, conv_f):
+        """Second line of defense: return the best-so-far iterate when it
+        PARETO-dominates an infeasible final one (in-loop rejection already
+        keeps diverged iterates out of the carry; this only catches gradual
+        non-monotone drift, e.g. violation creeping up at saturated mu)."""
+        if not opts.al_safeguard:
+            return xs_f, us_f, J_f, viol_f, grad_f, conv_f
+        worse = (viol_f > tol) & (out.best_viol <= viol_f) \
+            & (out.best_J <= J_f) \
+            & ((out.best_viol < viol_f) | (out.best_J < J_f))
+        return (
+            jnp.where(worse, out.best_xs, xs_f),
+            jnp.where(worse, out.best_us, us_f),
+            jnp.where(worse, out.best_J, J_f),
+            jnp.where(worse, out.best_viol, viol_f),
+            grad_f,
+            conv_f & ~worse,
+        )
+
     if not opts.final_polish:
+        xs_f, us_f, J_f, viol_f, grad_f, conv_f = _best_guard(
+            out.xs, out.us, out.J, out.viol, out.grad, out.converged)
         return ALSolution(
-            xs=out.xs, us=out.us, J=out.J, max_violation=out.viol,
+            xs=xs_f, us=us_f, J=J_f, max_violation=viol_f,
             iterations=out.inner_iters, outer_iterations=out.outer,
-            gradient=out.grad, converged=out.converged,
+            gradient=grad_f, converged=conv_f,
             duals=out.lams, penalties=out.mus, stats=out.stats,
         )
 
@@ -461,8 +529,10 @@ def al_solve(
     # converged even if the outer loop's own budget expired first.
     conv_f = (out.converged | (keep & ~res.failed)) & (
         viol_f < opts.constraint_tolerance)
+    xs_f, us_f, J_f, viol_f, grad_f, conv_f = _best_guard(
+        xs_f, us_f, obj.cost(xs_f, us_f), viol_f, grad_f, conv_f)
     return ALSolution(
-        xs=xs_f, us=us_f, J=obj.cost(xs_f, us_f),
+        xs=xs_f, us=us_f, J=J_f,
         max_violation=viol_f,
         iterations=out.inner_iters + res.iterations,
         outer_iterations=out.outer,

@@ -22,7 +22,44 @@ from ..problem import Problem
 from .al import ALSolution, ConstraintBlock, al_solve
 from .options import SolverOptions
 
-__all__ = ["ALTROSolver", "iLQRSolver", "solve", "solve_problem"]
+__all__ = ["ALTROSolver", "iLQRSolver", "solve", "solve_problem",
+           "altro_solve"]
+
+
+def altro_solve(model, obj, blocks, x0, us0, times, dts,
+                opts: SolverOptions, xs_init=None, duals_init=None,
+                penalties_init=None) -> ALSolution:
+    """Full ALTRO solve as ONE jittable/vmappable function: AL-iLQR phase 1
+    (al.al_solve) + projected-Newton phase 2 (projection.projected_newton)
+    when ``opts.projected_newton`` — the reference's two-phase ALTRO
+    composition (docs/old/solvers.md), previously only available as a
+    host-side post-pass.
+
+    Phase 2 may CONFIRM convergence ("rescue"): AL characteristically
+    stalls near the solution once penalties saturate (the quadratic model
+    degrades at mu ~ 1e7+), ending e.g. at viol 1e-5 with converged=False;
+    the Newton projection then closes the last digits.  The rescue is only
+    trusted when the AL phase genuinely progressed — its final cost
+    improves on the initial iterate's (guards against blessing the
+    best-guard's untouched initial-rollout fallback as "converged").
+    """
+    from ..dynamics import rollout as _rollout
+
+    sol = al_solve(model, obj, blocks, x0, us0, times, dts, opts,
+                   xs_init=xs_init, duals_init=duals_init,
+                   penalties_init=penalties_init)
+    if not opts.projected_newton:
+        return sol
+    from .projection import projected_newton
+
+    xs0 = _rollout(model, x0, us0, times, dts)
+    J_init = obj.cost(xs0, us0)
+    rescue = sol.J < J_init
+    return projected_newton(
+        model, obj, blocks, x0, sol, times, dts, opts,
+        newton_iters=opts.projected_newton_iterations,
+        active_tol=opts.projected_newton_tolerance,
+        rescue=rescue)
 
 
 def _problem_blocks(prob: Problem):
@@ -43,22 +80,26 @@ def solve_problem(prob: Problem, opts: Optional[SolverOptions] = None,
         from .infeasible import solve_infeasible
 
         def _solve(obj, block_tuple, x0, us, times, dts, xs):
-            return solve_infeasible(model, obj, block_tuple, x0, xs, us,
-                                    times, dts, opts)
+            sol = solve_infeasible(model, obj, block_tuple, x0, xs, us,
+                                   times, dts, opts)
+            if opts.projected_newton:
+                from ..dynamics import rollout as _rollout
+                from .projection import projected_newton
+                xs0 = _rollout(model, x0, us, times, dts)
+                sol = projected_newton(
+                    model, obj, block_tuple, x0, sol, times, dts, opts,
+                    newton_iters=opts.projected_newton_iterations,
+                    active_tol=opts.projected_newton_tolerance,
+                    rescue=sol.J < obj.cost(xs0, us))
+            return sol
     else:
         def _solve(obj, block_tuple, x0, us, times, dts, xs):
-            return al_solve(model, obj, block_tuple, x0, us, times, dts, opts,
-                            xs_init=xs)
+            return altro_solve(model, obj, block_tuple, x0, us, times, dts,
+                               opts, xs_init=xs)
 
     fn = jax.jit(_solve) if jit else _solve
-    sol = fn(prob.obj, blocks, prob.x0, prob.us, prob.times, prob.dts, prob.xs)
-    if opts.projected_newton:
-        from .projection import projected_newton
-        sol = projected_newton(model, prob.obj, blocks, prob.x0, sol,
-                               prob.times, prob.dts, opts,
-                               newton_iters=opts.projected_newton_iterations,
-                               active_tol=opts.projected_newton_tolerance)
-    return sol
+    return fn(prob.obj, blocks, prob.x0, prob.us, prob.times, prob.dts,
+              prob.xs)
 
 
 solve = solve_problem

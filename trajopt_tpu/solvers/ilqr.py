@@ -97,6 +97,22 @@ def _linearize_knots(model: DiscreteModel, xk, uk, tk, dtk,
     knots to linearize — the full first-(N-1) set for a cold solve, or a
     rotating refresh window for real-time MPC steps that carry Jacobians
     across solves (solvers/fixed.py)."""
+    if opts.jacobian_mode in ("analytic1", "analytic2"):
+        # Batched closed-form continuous Jacobians, scatter-free assembly
+        # (Model.dynamics_jacobian_batch), discretized exactly like
+        # approx1/approx.  Skips the jacfwd tangent traffic — the dominant
+        # HBM cost of the RTI MPC step (VERDICT r2 #4).
+        n = xk.shape[-1]
+        dtype = xk.dtype
+        Af, Bf = model.model.dynamics_jacobian_batch(xk, uk, tk)
+        dt_ = dtk[:, None, None]
+        eye = jnp.eye(n, dtype=dtype)
+        if opts.jacobian_mode == "analytic1":
+            return eye + dt_ * Af, dt_ * Bf
+        AfAf = jnp.einsum("kij,kjl->kil", Af, Af)
+        A = eye + dt_ * Af + (0.5 * dt_ * dt_) * AfAf
+        B = dt_ * Bf + (0.5 * dt_ * dt_) * jnp.einsum("kij,kjl->kil", Af, Bf)
+        return A, B
     if opts.jacobian_mode in ("approx", "approx1"):
         # jacfwd, NOT the analytic dynamics_jacobian override: the closed
         # forms assemble matrices entry-wise (scatters + tiny matmuls) and
@@ -328,10 +344,14 @@ def _forward_pass(model, cost_fn, xs, us, K, d, dV1, dV2, J0, x0, times, dts,
     expected = -(alphas * dV1 + alphas * alphas * dV2)  # (A,)
     dJ = J0 - J_all
     z = dJ / jnp.maximum(expected, 1e-30)
+    # A trial whose cost exceeds max_cost_value is out of the model's trust
+    # region no matter what the descent test says (Altro's max_cost_value
+    # safeguard).
+    J_sane = jnp.isfinite(J_all) & (J_all < opts.max_cost_value)
     ok_expected = (expected > 0) & (z > opts.line_search_lower_bound) & (
         z < opts.line_search_upper_bound)
     ok_noexp = (expected <= 0) & (dJ > 0)
-    ok = (ok_expected | ok_noexp) & jnp.isfinite(J_all)
+    ok = (ok_expected | ok_noexp) & J_sane
     any_ok = jnp.any(ok)
     best = jnp.argmax(ok)  # first (largest) accepted alpha
 
@@ -339,7 +359,7 @@ def _forward_pass(model, cost_fn, xs, us, K, d, dV1, dV2, J0, x0, times, dts,
     # but some step still lowers the cost, take the best of those — keeps
     # the solver grinding through the stiff-penalty regime where the
     # quadratic model mispredicts (the stall counter bounds how long).
-    ok_desc = (dJ > 0) & jnp.isfinite(J_all)
+    ok_desc = (dJ > 0) & J_sane
     any_desc = jnp.any(ok_desc)
     best_desc = jnp.argmax(jnp.where(ok_desc, dJ, -jnp.inf))
 

@@ -40,6 +40,21 @@ class SolverOptions:
     # unstable dynamics and the inner solver stalls.
     penalty_conditional: bool = True
     penalty_conditional_ratio: float = 0.25
+    # Divergence safeguard (outer-iterate rejection): an inner solve that
+    # descends a weakly-penalized AL merit can wedge at an iterate far
+    # outside the constraint set; duals/penalties updated there are garbage
+    # no later outer iteration recovers from.  When the max violation
+    # exceeds  max(al_reject_ratio * best_viol_so_far, al_reject_floor)
+    # the outer step is REJECTED: keep the previous accepted iterate and
+    # the old duals, force a penalty escalation.  The solve also returns a
+    # Pareto-dominating earlier iterate if the final one is infeasible and
+    # worse in both violation and cost.
+    # ``al_reject_floor`` is an absolute violation ceiling (problem units)
+    # marking "clearly diverged" — it only matters for feasible starts
+    # (best_viol ~ 0), where any plausible AL excursion stays far below it.
+    al_safeguard: bool = True
+    al_reject_ratio: float = 25.0
+    al_reject_floor: float = 10.0
 
     # -- dynamics Jacobians ---------------------------------------------------
     # "exact": jacfwd through the full integrator (RK4 chain) — the
@@ -56,6 +71,10 @@ class SolverOptions:
     # rule from analytic dynamics_jacobian overrides — machine-precision
     # equivalent to "exact", preferred on CPU/f64 where closed forms exist
     # (on TPU the stage-chain's tiny matmuls are ~23x slower than jacfwd).
+    # "analytic1"/"analytic2": like approx1/approx but the continuous
+    # (Af, Bf) come from Model.dynamics_jacobian_batch — a batched
+    # SCATTER-FREE closed-form assembly — instead of jacfwd; skips the
+    # tangent-intermediate HBM traffic that dominates the RTI MPC step.
     jacobian_mode: str = "exact"
     # Dtype for the approx/approx1 jacfwd tangents: "same" (trajectory
     # dtype) or "bfloat16" (half-bandwidth tangent intermediates; the
@@ -76,16 +95,20 @@ class SolverOptions:
     al_hessian_exact: bool = False
 
     # -- backward-pass regularization ----------------------------------------
+    # (Altro's bp_reg_fail_limit has no analog here: the backward pass never
+    # retries in place — see ilqr._backward_pass — so failure is declared
+    # when rho saturates at bp_reg_max, not by counting retries.)
     bp_reg_initial: float = 0.0
     bp_reg_increase_factor: float = 1.6
     bp_reg_min: float = 1e-8
     bp_reg_max: float = 1e8
-    bp_reg_fail_limit: int = 25    # consecutive failed backward passes
 
     # -- forward line search --------------------------------------------------
+    # (Altro's line_search_decrease_factor has no analog: the parallel line
+    # search derives its geometric alpha schedule from iterations_linesearch
+    # and line_search_min_alpha instead of a sequential halving factor.)
     line_search_lower_bound: float = 1e-8
     line_search_upper_bound: float = 10.0
-    line_search_decrease_factor: float = 0.5
     line_search_min_alpha: float = 1e-6
     # Number of parallel line-search step sizes; 0 = unconditional full
     # Newton step (real-time-iteration mode, fixed-schedule solver only —
@@ -129,7 +152,14 @@ class SolverOptions:
     error_state: bool = True
 
     # -- projected-Newton solution polish (ALTRO phase 2) --------------------
-    projected_newton: bool = False
+    # Default ON: phase 2 is integral to ALTRO (docs/old/solvers.md; the
+    # IROS-2019 algorithm) — AL characteristically stalls at ~1e-4..1e-6
+    # violation once penalties saturate, and the active-set Newton
+    # projection is what reaches tight feasibility from there.  It may
+    # also CONFIRM convergence of a stalled-but-near-feasible AL phase
+    # (altro.altro_solve "rescue").  Fixed-schedule RTI MPC steps never
+    # run it (solvers/fixed.py has no polish phase).
+    projected_newton: bool = True
     # inequality rows within this distance of the boundary are HELD by the
     # projection (chatter guard; solvers/projection.py)
     projected_newton_tolerance: float = 1e-3

@@ -19,8 +19,11 @@ scenarios shape as the Riccati recursion, with O(1) trace size (the r1
 version assembled the dense Jacobian with N unrolled scatter loops;
 VERDICT r1 #6).
 
-Equality and inequality (active-set) rows participate; SOC feasibility is
-already enforced to AL tolerance and its rows are skipped.
+Equality and inequality (active-set) rows participate; SECOND_ORDER blocks
+participate through ONE scalarized boundary row ||v|| - s per knot (active
+at/beyond the cone boundary), so SOCP solutions polish to direct-solver
+feasibility grades instead of stopping at AL tolerance (VERDICT r2 #7;
+cones.jl:129-188 is the cone geometry being linearized).
 """
 from __future__ import annotations
 
@@ -71,18 +74,32 @@ def projected_newton(
     newton_iters: int = 3,
     active_tol: float = 1e-3,
     reg: float = 1e-10,
+    rescue=False,
 ) -> ALSolution:
     """Polish ``sol`` to tight feasibility with minimum-norm Newton
-    projections onto {dynamics defects = 0, active constraints = 0}."""
+    projections onto {dynamics defects = 0, active constraints = 0}.
+
+    ``rescue``: a bool (or traced bool array) asserting the AL phase made
+    genuine progress (see altro.altro_solve).  When set, a polished iterate
+    inside tolerance counts as converged even if the AL loop's own
+    convergence flag never fired — the reference's ALTRO semantics, where
+    phase 2 is what achieves tight feasibility after the AL phase stalls
+    near the solution (docs/old/solvers.md).  Without it PN can only
+    UN-set convergence (a polish that fails to reach tolerance)."""
     N, n = sol.xs.shape
     m = sol.us.shape[-1]
     dtype = sol.xs.dtype
-    stage = [b for b in blocks if b.con.sense is not Cone.SECOND_ORDER]
-    # static row offset of each block inside the stage-row slab
+    # Row layout: orthant/equality blocks contribute their full rows; a
+    # SECOND_ORDER block c = [v; s] contributes ONE scalarized boundary row
+    # g = ||v|| - s  (<= 0; active at/beyond the cone boundary), with
+    # gradient (v/||v||)^T Jv - Js — the same smooth scalarization the
+    # direct solver uses (nlp.solve_nlp), so rocket-grade SOCPs polish to
+    # ~1e-8+ instead of stopping at AL tolerance (cones.jl:129-188).
+    stage = list(blocks)
     offs, P = [], 0
     for b in stage:
         offs.append(P)
-        P += b.con.output_dim
+        P += 1 if b.con.sense is Cone.SECOND_ORDER else b.con.output_dim
     q = n + P           # rows per knot group (defect block + stage slab)
     w = m + n           # variable block w_k = (u_k, x_{k+1})
 
@@ -117,7 +134,19 @@ def projected_newton(
                                          _take_knots(us, ks))      # (K, p)
             Jc = jax.vmap(lambda x, u: full_width_jacobian(b.con, x, u))(
                 _take_knots(xs, ks), _take_knots(us, ks))          # (K,p,n+m)
-            if b.con.sense is Cone.ZERO:
+            if b.con.sense is Cone.SECOND_ORDER:
+                # scalarize [v; s] -> g = ||v|| - s (one row)
+                v, s_ = c[:, :-1], c[:, -1]
+                nv = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-16)     # (K,)
+                g = nv - s_
+                Jg = (jnp.einsum("kp,kpz->kz", v / nv[:, None], Jc[:, :-1])
+                      - Jc[:, -1])                                  # (K, n+m)
+                c = g[:, None]
+                Jc = Jg[:, None, :]
+                p = 1
+                act = (c > -hold_tol)
+                c = jnp.maximum(c, 0.0)
+            elif b.con.sense is Cone.ZERO:
                 act = jnp.ones_like(c, bool)
             else:
                 # NegativeOrthant active set: violated rows (c > 0) are
@@ -215,5 +244,6 @@ def projected_newton(
     viol = jnp.maximum(viol, defect)
     return sol.replace(
         xs=xs, us=us, J=obj.cost(xs, us), max_violation=viol,
-        converged=sol.converged & (viol < opts.constraint_tolerance),
+        converged=(sol.converged | jnp.asarray(rescue))
+        & (viol < opts.constraint_tolerance),
     )
