@@ -32,7 +32,9 @@ def _setup(N=15, tf=2.0):
 
 def test_batch_matches_single(rng):
     """vmapped batch solve == per-scenario solves (single-chip vs batched
-    equivalence, SURVEY.md §4)."""
+    equivalence, SURVEY.md §4).  batch_solve routes through altro_solve
+    (AL + projected-Newton phase 2), so the single-scenario reference must
+    too — like-for-like (VERDICT r3 #4)."""
     dm, obj, blocks, times, dts, n, m, N, xf = _setup()
     opts = SolverOptions()
     B = 3
@@ -41,9 +43,10 @@ def test_batch_matches_single(rng):
     sol = batch_solve(dm, obj, blocks, x0s, us0, times, dts, opts)
     assert sol.xs.shape == (B, N, n)
     assert bool(jnp.all(sol.converged))
-    from trajopt_tpu.solvers.al import al_solve
+    from trajopt_tpu.solvers.altro import altro_solve
     for b in range(B):
-        single = al_solve(dm, obj, blocks, x0s[b], us0[b], times, dts, opts)
+        single = altro_solve(dm, obj, blocks, x0s[b], us0[b], times, dts,
+                             opts)
         assert np.allclose(single.us, sol.us[b], atol=1e-8)
         assert float(single.J) == pytest.approx(float(sol.J[b]), rel=1e-8)
 

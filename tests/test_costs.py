@@ -337,3 +337,35 @@ def test_not_psd_warning(rng, dims):
         warnings.simplefilter("error")
         QuadraticCost.create(np.eye(n), np.eye(m))
         DiagonalCost.create(np.ones(n), np.ones(m))
+
+
+def test_invert_hessian(rng, dims):
+    """Structure-aware cost-Hessian inverse (cost_functions.jl:278-297
+    invert!): diagonal, block-diagonal, and Schur (cross-term) paths all
+    match the dense inverse of [[Q, H'], [H, R]]."""
+    from trajopt_tpu.costs import invert
+
+    n, m = dims
+    Qd = 0.5 + np.abs(rng.standard_normal(n))
+    Rd = 0.5 + np.abs(rng.standard_normal(m))
+    dc = DiagonalCost.create(Qd, Rd)
+    G = np.block([[np.diag(Qd), np.zeros((n, m))],
+                  [np.zeros((m, n)), np.diag(Rd)]])
+    assert np.allclose(np.asarray(invert(dc)), np.linalg.inv(G), atol=1e-10)
+    # terminal: control rows/cols zeroed, state block = Q^{-1}
+    Gt = np.asarray(invert(dc, terminal=True))
+    assert np.allclose(Gt[:n, :n], np.diag(1.0 / Qd))
+    assert np.allclose(Gt[n:, :], 0.0) and np.allclose(Gt[:, n:], 0.0)
+    # block-diagonal dense
+    A = rng.standard_normal((n, n))
+    Q = A @ A.T + n * np.eye(n)
+    Bm = rng.standard_normal((m, m))
+    R = Bm @ Bm.T + m * np.eye(m)
+    qc = QuadraticCost.create(Q, R)
+    G = np.block([[Q, np.zeros((n, m))], [np.zeros((m, n)), R]])
+    assert np.allclose(np.asarray(invert(qc)), np.linalg.inv(G), atol=1e-8)
+    # cross term -> Schur path
+    H = 0.1 * rng.standard_normal((m, n))
+    qc = QuadraticCost.create(Q, R, H=H)
+    G = np.block([[Q, H.T], [H, R]])
+    assert np.allclose(np.asarray(invert(qc)), np.linalg.inv(G), atol=1e-8)

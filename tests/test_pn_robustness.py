@@ -1,0 +1,56 @@
+"""Projected-Newton phase-2 robustness: the polish must never make the
+answer worse (VERDICT r3 #7).
+
+This is the second "phase 2 hurts" incident class (r2: SOC skipping; r3:
+near-singular active-set normal equations on the 120-obstacle corridor
+exploding the min-norm step, J 1.72 -> 340829).  The contract under test is
+the keep-guard in projection.py: for every benchmark problem,
+``projected_newton=True`` returns a (J, max_violation) pair no worse than
+``projected_newton=False`` — violation never worsens beyond
+max(AL violation, tolerance), and cost never blows up.
+
+Reference anchor: /root/reference/docs/old/solvers.md (ALTRO composition —
+projected newton is a *polish* phase).
+"""
+import jax.numpy as jnp
+import pytest
+
+from trajopt_tpu import benchmarks
+from trajopt_tpu.solvers import SolverOptions, solve_problem
+
+# Reduced-N configs keep the A/B affordable on CPU; dubins_escape runs the
+# full 120-obstacle corridor — the exact config that exposed the r3
+# regression (many simultaneously-held circle rows near-singularize the
+# active-set system).
+CONFIGS = {
+    "quickstart": (lambda: benchmarks.quickstart_problem(), SolverOptions()),
+    "cartpole": (lambda: benchmarks.cartpole_swingup(N=51),
+                 SolverOptions(cost_tolerance_intermediate=1e-2)),
+    "dubins_parallel_park": (lambda: benchmarks.dubins_parallel_park(N=51),
+                             SolverOptions(cost_tolerance_intermediate=1e-2)),
+    "dubins_escape": (lambda: benchmarks.dubins_escape(),
+                      SolverOptions(cost_tolerance_intermediate=1e-2)),
+    "rocket": (lambda: benchmarks.rocket_landing(N=51), SolverOptions()),
+    "quadrotor_zigzag": (lambda: benchmarks.quadrotor_zigzag(N=51),
+                         SolverOptions(penalty_scaling=100.0,
+                                       penalty_initial=0.1)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_pn_never_worse(name):
+    builder, opts = CONFIGS[name]
+    prob = builder()
+    sol_off = solve_problem(prob, opts.replace(projected_newton=False))
+    sol_on = solve_problem(builder(), opts.replace(projected_newton=True))
+    tol = opts.constraint_tolerance
+    viol_off = float(sol_off.max_violation)
+    viol_on = float(sol_on.max_violation)
+    J_off, J_on = float(sol_off.J), float(sol_on.J)
+    # violation: PN may only hold or improve (up to tolerance-level slack)
+    assert viol_on <= max(viol_off, tol) * (1 + 1e-9) + 1e-12
+    # cost: no blow-up (the keep-guard's own bound, with test slack)
+    assert J_on <= J_off + max(0.3 * abs(J_off), 1.5)
+    # convergence must never be lost by adding the polish
+    if bool(sol_off.converged):
+        assert bool(sol_on.converged)

@@ -38,6 +38,7 @@ def main():
         viol = float(sol.max_violation)
         assert viol < 1e-6, f"{name} viol {viol:.2e}"
         np.save(os.path.join(golden, f"{name}_us.npy"), np.asarray(sol.us))
+        np.save(os.path.join(golden, f"{name}_xs.npy"), np.asarray(sol.xs))
         np.save(os.path.join(golden, f"{name}_meta.npy"),
                 np.array([float(sol.J), viol]))
         print(f"{name}: J {float(sol.J):.8g} viol {viol:.2e} "

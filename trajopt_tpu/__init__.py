@@ -33,6 +33,7 @@ from .costs import (
     LQRCost,
     QuadraticCost,
     QuatLQRCost,
+    invert,
 )
 from .objective import LQRObjective, Objective, TrackingObjective, update_trajectory
 from .dynamics import (

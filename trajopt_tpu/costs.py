@@ -37,6 +37,7 @@ __all__ = [
     "QuatLQRCost",
     "CostExpansion",
     "change_dimension",
+    "invert",
 ]
 
 
@@ -501,6 +502,48 @@ def _as_dense(cost) -> QuadraticCost:
         return QuadraticCost.create(jnp.diag(cost.Qd), jnp.diag(cost.Rd),
                                     q=cost.q, r=cost.r, c=cost.c)
     raise TypeError(f"cannot convert {type(cost)} to QuadraticCost")
+
+
+def invert(cost, terminal: bool = False) -> jax.Array:
+    """Structure-aware inverse of the cost Hessian (cost_functions.jl:278-297
+    ``invert!``): returns the (n+m, n+m) inverse of
+    ``[[Q, H^T], [H, R]]``, picking the cheapest path the structure allows.
+
+    * DiagonalCost (is_diag): elementwise reciprocal on the diagonal.
+    * QuadraticCost with zero H (is_blockdiag): per-block inverse.
+    * QuadraticCost with a cross term: Schur complement in Q —
+      ``S = R - H Q^{-1} H^T``; assembled from ``Q^{-1}`` and ``S^{-1}``.
+
+    All paths use the unrolled Gauss-Jordan ``utils.linalg.inv_small``
+    (TPU has no f64 LU kernel; the blocks here are tiny, n+m <= ~20).
+    ``terminal=True`` drops the control block (reference semantics: a
+    terminal cost has no R curvature); its rows/cols return zero.
+    """
+    from .utils.linalg import inv_small
+
+    n, m = cost.n, cost.m
+    if isinstance(cost, DiagonalCost):
+        Rpart = jnp.zeros((m,), cost.Qd.dtype) if terminal else 1.0 / cost.Rd
+        return jnp.diag(jnp.concatenate([1.0 / cost.Qd, Rpart]))
+    c = _as_dense(cost)
+    dt = c.Q.dtype
+    Qinv = inv_small(c.Q)
+    if terminal:
+        out = jnp.zeros((n + m, n + m), dt)
+        return out.at[:n, :n].set(Qinv)
+    if _concrete_all_zero(c.H):
+        out = jnp.zeros((n + m, n + m), dt)
+        out = out.at[:n, :n].set(Qinv)
+        return out.at[n:, n:].set(inv_small(c.R))
+    # Schur complement in Q: G^{-1} assembled blockwise
+    HQinv = c.H @ Qinv                                   # (m, n)
+    Sinv = inv_small(c.R - HQinv @ c.H.T)                # (m, m)
+    TL = Qinv + HQinv.T @ Sinv @ HQinv
+    TR = -HQinv.T @ Sinv
+    return jnp.concatenate([
+        jnp.concatenate([TL, TR], axis=1),
+        jnp.concatenate([TR.T, Sinv], axis=1),
+    ], axis=0)
 
 
 def LQRCost(Q, R, xf, uf=None, diag: Optional[bool] = None, dtype=None):

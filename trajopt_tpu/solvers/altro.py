@@ -52,7 +52,12 @@ def altro_solve(model, obj, blocks, x0, us0, times, dts,
         return sol
     from .projection import projected_newton
 
+    # Rescue baseline: the SAME initial iterate al_solve starts from
+    # (xs_init when finite, else the rollout — ADVICE r3: comparing against
+    # the rollout alone mis-gates warm-started solves).
     xs0 = _rollout(model, x0, us0, times, dts)
+    if xs_init is not None:
+        xs0 = jnp.where(jnp.all(jnp.isfinite(xs_init)), xs_init, xs0)
     J_init = obj.cost(xs0, us0)
     rescue = sol.J < J_init
     return projected_newton(
@@ -85,7 +90,11 @@ def solve_problem(prob: Problem, opts: Optional[SolverOptions] = None,
             if opts.projected_newton:
                 from ..dynamics import rollout as _rollout
                 from .projection import projected_newton
+                # Infeasible solves START from the user's state guess
+                # (that is their point); baseline the rescue there when
+                # finite, else at the rollout (ADVICE r3).
                 xs0 = _rollout(model, x0, us, times, dts)
+                xs0 = jnp.where(jnp.all(jnp.isfinite(xs)), xs, xs0)
                 sol = projected_newton(
                     model, obj, block_tuple, x0, sol, times, dts, opts,
                     newton_iters=opts.projected_newton_iterations,

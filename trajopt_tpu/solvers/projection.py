@@ -135,9 +135,12 @@ def projected_newton(
             Jc = jax.vmap(lambda x, u: full_width_jacobian(b.con, x, u))(
                 _take_knots(xs, ks), _take_knots(us, ks))          # (K,p,n+m)
             if b.con.sense is Cone.SECOND_ORDER:
-                # scalarize [v; s] -> g = ||v|| - s (one row)
+                # scalarize [v; s] -> g = ||v|| - s (one row); the gradient
+                # epsilon is dtype-aware (f32 round-off of ||v||^2 swamps a
+                # fixed 1e-16 near the cone apex — ADVICE r3)
                 v, s_ = c[:, :-1], c[:, -1]
-                nv = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-16)     # (K,)
+                eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+                nv = jnp.sqrt(jnp.sum(v * v, axis=-1) + eps * eps)  # (K,)
                 g = nv - s_
                 Jg = (jnp.einsum("kp,kpz->kz", v / nv[:, None], Jc[:, :-1])
                       - Jc[:, -1])                                  # (K, n+m)
@@ -242,8 +245,26 @@ def projected_newton(
     defect = jnp.max(jnp.abs(
         jax.vmap(model.step)(xs[:-1], us[:-1], times[:-1], dts[:-1]) - xs[1:]))
     viol = jnp.maximum(viol, defect)
+    # -- keep-guard (VERDICT r3 #2): a polish phase must never make the
+    # answer worse.  On near-singular active sets (e.g. many simultaneously
+    # held obstacle rows) the min-norm normal equations can explode the
+    # step; accept the polished iterate only if it does not worsen the max
+    # violation beyond max(incoming, tol) and the cost does not blow up —
+    # the same pattern as al.py's final_polish keep.  A rejected polish
+    # returns the AL iterate untouched (and cannot "rescue" convergence).
+    J_p = obj.cost(xs, us)
+    tol = jnp.asarray(opts.constraint_tolerance, dtype)
+    keep = (
+        jnp.isfinite(viol) & jnp.isfinite(J_p)
+        & (viol <= jnp.maximum(sol.max_violation, tol))
+        & (J_p <= sol.J + jnp.maximum(0.25 * jnp.abs(sol.J), 1.0))
+    )
+    xs_f = jnp.where(keep, xs, sol.xs)
+    us_f = jnp.where(keep, us, sol.us)
+    viol_f = jnp.where(keep, viol, sol.max_violation)
+    J_f = jnp.where(keep, J_p, sol.J)
     return sol.replace(
-        xs=xs, us=us, J=obj.cost(xs, us), max_violation=viol,
-        converged=(sol.converged | jnp.asarray(rescue))
-        & (viol < opts.constraint_tolerance),
+        xs=xs_f, us=us_f, J=J_f, max_violation=viol_f,
+        converged=(sol.converged | (jnp.asarray(rescue) & keep))
+        & (viol_f < opts.constraint_tolerance),
     )
