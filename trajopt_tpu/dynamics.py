@@ -103,11 +103,11 @@ class Model:
     #: ``[I_{r0}, G(x), I_{n-r1}]`` with the only non-identity block given
     #: by :meth:`errstate_G`.  Solvers then transform expansions with
     #: static slice concats + tiny G matmuls instead of materializing
-    #: (B, N, n, nt) E tensors.  Context: the DENSE error-state einsums
-    #: measured 5.7x slower than no-error-state on the RTI MPC hot loop
-    #: (6.7k vs 38k solves/s, v5e B=2048, 2026-08-20); the structured
-    #: block exists to close that gap — see PARITY.md for its own TPU
-    #: measurement.
+    #: (B, N, n, nt) E tensors.  Measured on v5e (B=2048 RTI MPC bench,
+    #: 2026-08-21): 16,693 solves/s at full quality vs 6,696 (with broken
+    #: tails) for the dense einsums it replaced — 2.5x — and 38,310 for
+    #: error_state=False; quaternion-cost workloads that need the tangent
+    #: space pay 2.3x, not 5.7x (PARITY.md perf table).
     errstate_block = None
 
     def errstate_G(self, x: jax.Array) -> jax.Array:

@@ -52,6 +52,10 @@ class SolverOptions:
     # ``al_reject_floor`` is an absolute violation ceiling (problem units)
     # marking "clearly diverged" — it only matters for feasible starts
     # (best_viol ~ 0), where any plausible AL excursion stays far below it.
+    # It does NOT auto-scale: on problems whose constraints naturally read
+    # in large units (forces of O(100), say) a legitimate first excursion
+    # can cross 10 — raise the floor toward ~0.1x the largest plausible
+    # constraint magnitude for such problems (ADVICE r3; docs/solvers.md).
     al_safeguard: bool = True
     al_reject_ratio: float = 25.0
     al_reject_floor: float = 10.0
@@ -116,6 +120,12 @@ class SolverOptions:
     iterations_linesearch: int = 16
 
     # -- safeguards -----------------------------------------------------------
+    # ``max_cost_value`` bounds the AL MERIT (objective + penalty), not the
+    # bare objective (the reference's semantics): with penalty_max ~ 1e8 a
+    # badly-scaled infeasible cold start (||c|| of O(1e2)) can legitimately
+    # carry a merit above 1e12 — raise this for large-scale problems with
+    # distant infeasible starts or every trial step gets rejected and the
+    # inner loop stalls until the outer safeguard fires (ADVICE r3).
     max_cost_value: float = 1e12
     max_state_value: float = 1e12
 
