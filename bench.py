@@ -101,6 +101,107 @@ def _program_costs(jitted, *args):
         return None, None
 
 
+def _tree_concat(parts):
+    return jax.tree_util.tree_map(
+        lambda *xs: xs[0] if jnp.ndim(xs[0]) == 0
+        else jnp.concatenate(xs, axis=0), *parts)
+
+
+def _tree_take(tree, ids):
+    return jax.tree_util.tree_map(
+        lambda a: a if jnp.ndim(a) == 0 else a[ids], tree)
+
+
+def _tree_put(tree, ids, part):
+    return jax.tree_util.tree_map(
+        lambda full, re_: full if jnp.ndim(full) == 0
+        else full.at[ids].set(re_[:len(ids)]), tree, part)
+
+
+def make_cold_runner(first, cont, x0s, us0, B, chunk, dtype):
+    """Build ``run_cold(cont_budget, retry_allowed) -> (sol, passes, retry)``
+    — the cold-solve driver shared by the flagship quadrotor fleet and the
+    secondary configs (VERDICT r3 #5: the tail machinery now applies to
+    every config).
+
+    1 first pass + up to ``cont_budget - 1`` COMPACTED continuation passes +
+    an optional straggler retry:
+
+    * Cross-pass compaction (VERDICT r2 #3): after each pass the still-
+      unconverged scenarios are gathered into dense chunks, so converged
+      scenarios stop paying for the stragglers' continuation (a vmapped
+      while_loop runs every lane at the slowest lane's pace).
+    * Straggler retry (fleet fault recovery, SURVEY.md §5: stateless
+      per-solve => recovery = re-dispatch): scenarios still unconverged
+      after the continuation passes re-solve ONCE from a perturbed initial
+      guess with fresh duals (stuck tails are local-structure artifacts; a
+      nudged restart breaks the ridge).  The retry is counted SEPARATELY
+      from the continuation budget so a warm re-run can execute the
+      identical program sequence (ADVICE r2 #1).
+    """
+
+    def run_cold(cont_budget, retry_allowed=True, seed_sol=None):
+        if seed_sol is not None:
+            # Cascade warm start (VERDICT r3 #6): a coarse-horizon solve
+            # resampled to the fine grid seeds EVERY scenario; the first
+            # fine pass is a warm continuation (converged forced False so
+            # the compaction loop runs everyone once).
+            sol = seed_sol
+            iters = np.asarray(sol.iterations, dtype=np.int64).copy()
+            cont_passes = 0
+        else:
+            sols = []
+            for i in range(0, B, chunk):
+                sols.append(jax.block_until_ready(
+                    first(x0s[i:i + chunk], us0[i:i + chunk])))
+            sol = _tree_concat(sols)
+            iters = np.asarray(sol.iterations, dtype=np.int64).copy()
+            cont_passes = 1
+        while cont_passes < cont_budget:
+            bad = np.flatnonzero(~np.asarray(sol.converged))
+            if bad.size == 0:
+                break
+            pad = (-bad.size) % chunk
+            idx = np.concatenate([bad, np.zeros(pad, bad.dtype)])
+            outs = []
+            for j in range(0, idx.size, chunk):
+                ids = idx[j:j + chunk]
+                outs.append(jax.block_until_ready(
+                    cont(x0s[ids], _tree_take(sol, ids))))
+            part = _tree_concat(outs)
+            iters[bad] += np.asarray(part.iterations)[:bad.size]
+            sol = _tree_put(sol, bad, part)
+            cont_passes += 1
+
+        did_retry = False
+        bad = np.flatnonzero(~np.asarray(sol.converged))
+        if retry_allowed and 0 < bad.size:
+            pad = (-bad.size) % chunk
+            idx = np.concatenate([bad, np.zeros(pad, bad.dtype)])
+            key_r = jax.random.PRNGKey(1)
+            us_r = us0[idx] * (1.0 + 0.02 * jax.random.normal(
+                key_r, us0[idx].shape, dtype))
+            outs = []
+            for j in range(0, idx.size, chunk):
+                outs.append(jax.block_until_ready(
+                    first(x0s[idx[j:j + chunk]], us_r[j:j + chunk])))
+            sol_r = _tree_concat(outs)
+            take = np.asarray(sol_r.max_violation)[:bad.size] < np.asarray(
+                sol.max_violation)[bad]
+            sel = bad[take]
+            if sel.size:
+                src = np.flatnonzero(take)
+                sol = _tree_put(sol, sel, _tree_take(sol_r, src))
+            # total-work accounting: the retry's iterations ADD to the
+            # accumulated count for every retried scenario (ADVICE r2 #2)
+            iters[bad] += np.asarray(sol_r.iterations)[:bad.size]
+            did_retry = True
+        sol = sol.replace(iterations=jnp.asarray(iters))
+        return sol, cont_passes, did_retry
+
+    return run_cold
+
+
 def main():
     from trajopt_tpu import mpc
     from trajopt_tpu.solvers import SolverOptions
@@ -118,7 +219,7 @@ def main():
     # every scenario at the slowest lane's pace, so smaller cold chunks let
     # easy chunks retire early; the fixed-schedule MPC step has no while_loop
     # and amortizes dispatch best at the large chunk.
-    cold_chunk = min(B, chunk, int(os.environ.get("BENCH_COLD_CHUNK", 256)))
+    cold_chunk = min(B, chunk, int(os.environ.get("BENCH_COLD_CHUNK", 64)))
     assert B % cold_chunk == 0
     tf = 5.0
 
@@ -130,10 +231,10 @@ def main():
     # device execution — a single >~2 min execution trips the axon tunnel's
     # per-execution limit and surfaces as a TPU device fault.
     tol = 5e-4
-    cold_passes = int(os.environ.get("BENCH_COLD_PASSES", 6))
+    cold_passes = int(os.environ.get("BENCH_COLD_PASSES", 8))
     cold_opts = dict(
-        penalty_scaling=100.0,
-        penalty_initial=float(os.environ.get("BENCH_COLD_PEN0", 0.1)),
+        penalty_scaling=float(os.environ.get("BENCH_COLD_PSCALE", 100.0)),
+        penalty_initial=float(os.environ.get("BENCH_COLD_PEN0", 10.0)),
         penalty_max=1e6,
         jacobian_mode=os.environ.get("BENCH_COLD_JM", "exact"),
         constraint_tolerance=tol, cost_tolerance=1e-3,
@@ -205,88 +306,75 @@ def main():
                               xs_init=s.xs, duals_init=s.duals,
                               penalties_init=s.penalties)))
 
-    def _tree_concat(parts):
-        return jax.tree_util.tree_map(
-            lambda *xs: xs[0] if jnp.ndim(xs[0]) == 0
-            else jnp.concatenate(xs, axis=0), *parts)
+    run_cold = make_cold_runner(cold_first, cold_cont, x0s, us0, B,
+                                cold_chunk, dtype)
 
-    def _tree_take(tree, ids):
-        return jax.tree_util.tree_map(
-            lambda a: a if jnp.ndim(a) == 0 else a[ids], tree)
+    # ---- horizon-cascade warm start (VERDICT r3 #6) ----------------------
+    # Solve the SAME problem on a coarse knot grid (Nc ~ N/4: ~4x cheaper
+    # per iteration), linearly resample trajectory + duals + penalties to
+    # the fine grid, and run the fine passes as warm continuations.  Cold
+    # solves are iteration-count bound (see CLAUDE.md); the cascade buys
+    # fine-grid iterations down with cheap coarse ones.
+    if int(os.environ.get("BENCH_COLD_CASCADE", 0)):
+        Nc = int(os.environ.get("BENCH_COLD_NC", 26))
+        cchunk = min(B, int(os.environ.get("BENCH_COLD_NC_CHUNK", 512)))
+        coarse_kw = dict(cold_opts, constraint_tolerance=float(
+            os.environ.get("BENCH_COLD_NC_TOL", 2e-3)))
+        dmc, objc, blocksc, x0c, timesc, dtsc, opts_coarse, *_ = build(
+            B, Nc, tf, dtype, coarse_kw)
+        coarse_first = jax.jit(jax.vmap(
+            lambda a, b: al_solve(dmc, objc, blocksc, a, b, timesc, dtsc,
+                                  opts_coarse)))
+        us0c = jnp.full((B, Nc, m), hover, dtype)
 
-    def _tree_put(tree, ids, part):
-        return jax.tree_util.tree_map(
-            lambda full, re_: full if jnp.ndim(full) == 0
-            else full.at[ids].set(re_[:len(ids)]), tree, part)
+        def resample_knots(arr, Nf):
+            """Linear interp along knot axis 1: (B, K, ...) -> (B, Nf, ...)."""
+            K = arr.shape[1]
+            pos = jnp.linspace(0.0, K - 1.0, Nf)
+            i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, K - 2)
+            w = (pos - i0).reshape((1, Nf) + (1,) * (arr.ndim - 2)
+                                   ).astype(arr.dtype)
+            return arr[:, i0] * (1 - w) + arr[:, i0 + 1] * w
 
-    def run_cold(cont_budget, retry_allowed=True):
-        """Cold-solve the fleet: 1 first pass + up to ``cont_budget - 1``
-        COMPACTED continuation passes + an optional straggler retry.
+        # Seed carry mode: "full" carries duals+penalties, "duals" carries
+        # duals with penalties reset to penalty_initial (classic AL warm
+        # start: saturated penalties at a resampled — slightly inconsistent
+        # — iterate make the first fine subproblems needlessly stiff),
+        # "primal" carries only the trajectory.
+        cas_mode = os.environ.get("BENCH_COLD_CASCADE_MODE", "full")
 
-        Cross-pass compaction (VERDICT r2 #3): after each pass the still-
-        unconverged scenarios are gathered into dense chunks, so converged
-        scenarios stop paying for the stragglers' continuation (a vmapped
-        while_loop runs every lane at the slowest lane's pace).
+        @jax.jit
+        def make_seed(sol_c):
+            us_f = resample_knots(sol_c.us, N)
+            xs_f = resample_knots(sol_c.xs, N)
+            # renormalize the interpolated quaternion rows (3:7)
+            q = xs_f[:, :, 3:7]
+            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+            xs_f = jnp.concatenate([xs_f[:, :, :3], q, xs_f[:, :, 7:]],
+                                   axis=-1)
+            duals_f = jax.tree_util.tree_map(
+                lambda lam: resample_knots(lam, N - 1), sol_c.duals)
+            pens_f = jax.tree_util.tree_map(
+                lambda mu: resample_knots(mu, N - 1), sol_c.penalties)
+            if cas_mode != "full":
+                pens_f = jax.tree_util.tree_map(
+                    lambda mu: jnp.full_like(
+                        mu, cold_opts["penalty_initial"]), pens_f)
+            if cas_mode == "primal":
+                duals_f = jax.tree_util.tree_map(jnp.zeros_like, duals_f)
+            return sol_c.replace(
+                xs=xs_f, us=us_f, duals=duals_f, penalties=pens_f,
+                converged=jnp.zeros_like(sol_c.converged))
 
-        Returns (sol, cont_passes_used, did_retry) — the retry is counted
-        SEPARATELY from the continuation budget so a warm re-run can
-        execute the identical program sequence (ADVICE r2 #1).
-        """
-        sols = []
-        for i in range(0, B, cold_chunk):
-            sols.append(jax.block_until_ready(
-                cold_first(x0s[i:i + cold_chunk], us0[i:i + cold_chunk])))
-        sol = _tree_concat(sols)
-        iters = np.asarray(sol.iterations, dtype=np.int64).copy()
-        cont_passes = 1
-        while cont_passes < cont_budget:
-            bad = np.flatnonzero(~np.asarray(sol.converged))
-            if bad.size == 0:
-                break
-            pad = (-bad.size) % cold_chunk
-            idx = np.concatenate([bad, np.zeros(pad, bad.dtype)])
-            outs = []
-            for j in range(0, idx.size, cold_chunk):
-                ids = idx[j:j + cold_chunk]
-                outs.append(jax.block_until_ready(
-                    cold_cont(x0s[ids], _tree_take(sol, ids))))
-            part = _tree_concat(outs)
-            iters[bad] += np.asarray(part.iterations)[:bad.size]
-            sol = _tree_put(sol, bad, part)
-            cont_passes += 1
+        _run_cold_fine = run_cold
 
-        # Straggler retry (fleet fault recovery, SURVEY.md §5: stateless
-        # per-solve => recovery = re-dispatch): scenarios still unconverged
-        # after the continuation passes re-solve ONCE from a perturbed
-        # initial guess with fresh duals (stuck tails are local-structure
-        # artifacts; a nudged restart breaks the ridge).
-        did_retry = False
-        bad = np.flatnonzero(~np.asarray(sol.converged))
-        if retry_allowed and 0 < bad.size:
-            pad = (-bad.size) % cold_chunk
-            idx = np.concatenate([bad, np.zeros(pad, bad.dtype)])
-            key_r = jax.random.PRNGKey(1)
-            us_r = us0[idx] * (1.0 + 0.02 * jax.random.normal(
-                key_r, us0[idx].shape, dtype))
-            outs = []
-            for j in range(0, idx.size, cold_chunk):
-                outs.append(jax.block_until_ready(
-                    cold_first(x0s[idx[j:j + cold_chunk]],
-                               us_r[j:j + cold_chunk])))
-            sol_r = _tree_concat(outs)
-            take = np.asarray(sol_r.max_violation)[:bad.size] < np.asarray(
-                sol.max_violation)[bad]
-            sel = bad[take]
-            if sel.size:
-                src = np.flatnonzero(take)
-                sol = _tree_put(sol, sel,
-                                _tree_take(sol_r, src))
-            # total-work accounting: the retry's iterations ADD to the
-            # accumulated count for every retried scenario (ADVICE r2 #2)
-            iters[bad] += np.asarray(sol_r.iterations)[:bad.size]
-            did_retry = True
-        sol = sol.replace(iterations=jnp.asarray(iters))
-        return sol, cont_passes, did_retry
+        def run_cold(cont_budget, retry_allowed=True):
+            sols = []
+            for i in range(0, B, cchunk):
+                sols.append(jax.block_until_ready(
+                    coarse_first(x0s[i:i + cchunk], us0c[i:i + cchunk])))
+            seed = jax.block_until_ready(make_seed(_tree_concat(sols)))
+            return _run_cold_fine(cont_budget, retry_allowed, seed_sol=seed)
 
     t0 = time.time()
     sol, cont_used, did_retry = run_cold(cold_passes)
@@ -393,7 +481,7 @@ def main():
 
     # ---- secondary BASELINE configs (VERDICT r2 #6): batched cold-solve
     # rates for cartpole swing-up and the rocket soft-landing SOCP --------
-    def secondary_cold(name, builder, B2, opts2_kw, passes2):
+    def secondary_cold(name, builder, B2, opts2_kw, passes2, chunk2=128):
         from trajopt_tpu.solvers import SolverOptions as SO
         from trajopt_tpu.solvers.altro import _problem_blocks
         from trajopt_tpu.utils.host import to_host
@@ -404,7 +492,6 @@ def main():
         dm2, obj2, blocks2, x02, times2, dts2 = to_host(
             (prob.model, prob.obj, blocks2, prob.x0, prob.times, prob.dts))
         n2, m2 = prob.n, prob.m
-        N2 = prob.N
         key2 = jax.random.PRNGKey(7)
         x0s2 = x02[None, :] + 0.05 * jax.random.normal(key2, (B2, n2), dtype)
         us02 = jnp.tile(np.asarray(prob.us)[None, :, :].astype(dtype),
@@ -414,27 +501,23 @@ def main():
         cont = jax.jit(jax.vmap(lambda a, s: al_solve(
             dm2, obj2, blocks2, a, s.us, times2, dts2, opts2,
             xs_init=s.xs, duals_init=s.duals, penalties_init=s.penalties)))
-
-        def run2():
-            # small fleets: continuation on the full batch (one program;
-            # compaction buys nothing at B2 <= one chunk)
-            s = jax.block_until_ready(first(x0s2, us02))
-            p = 1
-            while p < passes2 and not bool(np.asarray(s.converged).all()):
-                s = jax.block_until_ready(cont(x0s2, s))
-                p += 1
-            return s, p
+        # Same compaction + straggler-retry driver as the flagship fleet
+        # (VERDICT r3 #5: the quadrotor tail machinery now closes the
+        # cartpole/rocket tails too).
+        run2 = make_cold_runner(first, cont, x0s2, us02, B2,
+                                min(B2, chunk2), dtype)
 
         t0 = time.time()
-        s2, p2 = run2()
+        s2, p2, retried2 = run2(passes2)
         compile_s = time.time() - t0
         t0 = time.time()
-        s2, _ = run2()
+        s2, _, _ = run2(p2, retry_allowed=retried2)
         warm_s = time.time() - t0
         rate2 = B2 / warm_s
         v2 = np.asarray(s2.max_violation)
         conv2 = int(np.asarray(s2.converged).sum())
-        log(f"{name}: {compile_s:.1f}s first, {warm_s:.2f}s warm ({p2} passes) "
+        log(f"{name}: {compile_s:.1f}s first, {warm_s:.2f}s warm "
+            f"({p2 + int(retried2)} passes) "
             f"-> {rate2:.1f} solves/s, converged {conv2}/{B2}, "
             f"max viol {v2.max():.2e}, p99 {np.quantile(v2, 0.99):.2e}")
         return rate2, conv2 / B2, float(v2.max())
@@ -452,14 +535,16 @@ def main():
         r, cf, mv = secondary_cold(
             "cartpole_cold", benchmarks.cartpole_swingup, B2,
             dict(base2, iterations=150, iterations_outer=8,
-                 iterations_inner=40), 3)
+                 iterations_inner=40), 6)
         secondary.update(cartpole_cold_solves_per_s=round(r, 1),
                          cartpole_cold_converged_frac=round(cf, 4),
                          cartpole_cold_max_viol=float(f"{mv:.3e}"))
+        # rocket has no straggler tail (2 passes, 100% converged): full-batch
+        # chunks avoid paying compaction's extra dispatches for nothing
         r, cf, mv = secondary_cold(
             "rocket_cold", benchmarks.rocket_landing, B2,
             dict(base2, iterations=150, iterations_outer=8,
-                 iterations_inner=40, penalty_initial=10.0), 3)
+                 iterations_inner=40, penalty_initial=10.0), 3, chunk2=B2)
         secondary.update(rocket_cold_solves_per_s=round(r, 1),
                          rocket_cold_converged_frac=round(cf, 4),
                          rocket_cold_max_viol=float(f"{mv:.3e}"))

@@ -4,6 +4,7 @@ from .ilqr import ILQRResult, ilqr_solve
 from .al import ALSolution, ConstraintBlock, SolveStats, al_solve, make_al_functions
 from .altro import (ALTROSolver, AugmentedLagrangianSolver,
                     ProjectedNewtonSolver, iLQRSolver, solve, solve_problem)
+from .cascade import cascade_solve, resample_knots, resample_solution
 from .dircol import DIRCOLOptions, DIRCOLSolver
 
 __all__ = [
@@ -16,6 +17,9 @@ __all__ = [
     "SolveStats",
     "ConstraintBlock",
     "al_solve",
+    "cascade_solve",
+    "resample_knots",
+    "resample_solution",
     "make_al_functions",
     "ALTROSolver",
     "AugmentedLagrangianSolver",
