@@ -243,6 +243,10 @@ def main():
         iterations=int(os.environ.get("BENCH_COLD_ITERS", 120)),
         iterations_outer=int(os.environ.get("BENCH_COLD_OUTER", 5)),
         iterations_inner=40,
+        # Parallel line-search width: each inner iteration forward-rolls
+        # this many alpha candidates; 16 is the robust default, but the
+        # cold config tolerates narrower grids (A/B'd via BENCH_COLD_LS).
+        iterations_linesearch=int(os.environ.get("BENCH_COLD_LS", 16)),
         error_state=bool(int(os.environ.get("BENCH_ES", 0))),
         # stats=None keeps the solution pytree structure identical between
         # the cold al_solve and the fixed-schedule MPC steps — the timed

@@ -254,9 +254,17 @@ def projected_newton(
     # returns the AL iterate untouched (and cannot "rescue" convergence).
     J_p = obj.cost(xs, us)
     tol = jnp.asarray(opts.constraint_tolerance, dtype)
+    # Like-for-like incoming violation: sol.max_violation from the AL phase
+    # excludes dynamics defects (its iterates are rollouts, defect ~ 0),
+    # but a standalone-PN seed (user/DIRCOL trajectory) may carry real
+    # defects that the polish is precisely there to close.
+    defect_in = jnp.max(jnp.abs(
+        jax.vmap(model.step)(sol.xs[:-1], sol.us[:-1], times[:-1],
+                             dts[:-1]) - sol.xs[1:]))
+    viol_in = jnp.maximum(sol.max_violation, defect_in)
     keep = (
         jnp.isfinite(viol) & jnp.isfinite(J_p)
-        & (viol <= jnp.maximum(sol.max_violation, tol))
+        & (viol <= jnp.maximum(viol_in, tol))
         & (J_p <= sol.J + jnp.maximum(0.25 * jnp.abs(sol.J), 1.0))
     )
     xs_f = jnp.where(keep, xs, sol.xs)
