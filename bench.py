@@ -276,6 +276,33 @@ def main():
         B, N, tf, dtype, cold_opts)
     opts_mpc = SolverOptions(**mpc_opts)
 
+    # ALTRO-composed cold solve (BENCH_COLD_PN=1): run the AL phase to a
+    # LOOSER tolerance (fewer Gauss-Newton iterations — the cold budget is
+    # iteration-count bound) and close the last digits with the batched
+    # projected-Newton polish (block-tridiagonal scans, a few Newton
+    # iterations).  BENCH_COLD_ALTOL sets the AL phase tolerance.
+    cold_pn = int(os.environ.get("BENCH_COLD_PN", 1))
+    if cold_pn:
+        from trajopt_tpu.solvers.projection import projected_newton
+        al_tol = float(os.environ.get("BENCH_COLD_ALTOL", 1e-1))
+        pn_iters = int(os.environ.get("BENCH_COLD_PN_ITERS", 3))
+        opts_loose = opts_cold.replace(constraint_tolerance=al_tol)
+
+        def cold_solve_one(a, b, s=None):
+            kw = {} if s is None else dict(
+                xs_init=s.xs, duals_init=s.duals, penalties_init=s.penalties)
+            sol = al_solve(dm, obj, blocks, a, b, times, dts, opts_loose,
+                           **kw)
+            return projected_newton(
+                dm, obj, blocks, a, sol, times, dts, opts_cold,
+                newton_iters=pn_iters, rescue=sol.converged)
+    else:
+        def cold_solve_one(a, b, s=None):
+            kw = {} if s is None else dict(
+                xs_init=s.xs, duals_init=s.duals, penalties_init=s.penalties)
+            return al_solve(dm, obj, blocks, a, b, times, dts, opts_cold,
+                            **kw)
+
     key = jax.random.PRNGKey(0)
     kx, kp = jax.random.split(key)
     x0s = x0[None, :] + 0.05 * jax.random.normal(kx, (B, n), dtype)
@@ -303,12 +330,8 @@ def main():
     # execution; warm-started passes resume the AL outer loop (trajectory +
     # duals + penalties carry over) until the fleet converges or the pass
     # budget runs out.
-    cold_first = jax.jit(jax.vmap(
-        lambda a, b: al_solve(dm, obj, blocks, a, b, times, dts, opts_cold)))
-    cold_cont = jax.jit(jax.vmap(
-        lambda a, s: al_solve(dm, obj, blocks, a, s.us, times, dts, opts_cold,
-                              xs_init=s.xs, duals_init=s.duals,
-                              penalties_init=s.penalties)))
+    cold_first = jax.jit(jax.vmap(lambda a, b: cold_solve_one(a, b)))
+    cold_cont = jax.jit(jax.vmap(lambda a, s: cold_solve_one(a, s.us, s)))
 
     run_cold = make_cold_runner(cold_first, cold_cont, x0s, us0, B,
                                 cold_chunk, dtype)
@@ -398,7 +421,9 @@ def main():
         f"{cold_rate:.1f} solves/s, converged {conv0}/{B} "
         f"({100.0 * conv0 / B:.2f}%), mean iters "
         f"{float(sol.iterations.mean()):.1f}, max viol {viol0.max():.2e}, "
-        f"p99 {np.quantile(viol0, 0.99):.2e}")
+        f"p99 {np.quantile(viol0, 0.99):.2e}, "
+        f"mean J {float(jnp.mean(sol.J)):.6f}")
+    cold_mean_J = float(jnp.mean(sol.J))
 
     schedule = tuple(int(x) for x in
                      os.environ.get("BENCH_SCHEDULE", "1").split(","))
@@ -500,11 +525,35 @@ def main():
         x0s2 = x02[None, :] + 0.05 * jax.random.normal(key2, (B2, n2), dtype)
         us02 = jnp.tile(np.asarray(prob.us)[None, :, :].astype(dtype),
                         (B2, 1, 1))
-        first = jax.jit(jax.vmap(lambda a, b: al_solve(
-            dm2, obj2, blocks2, a, b, times2, dts2, opts2)))
-        cont = jax.jit(jax.vmap(lambda a, s: al_solve(
-            dm2, obj2, blocks2, a, s.us, times2, dts2, opts2,
-            xs_init=s.xs, duals_init=s.duals, penalties_init=s.penalties)))
+        # Same ALTRO composition as the flagship cold path: loose-tolerance
+        # AL phase + projected-Newton close (BENCH_COLD_PN/ALTOL knobs).
+        if cold_pn:
+            from trajopt_tpu.solvers.projection import projected_newton
+            o2_loose = opts2.replace(constraint_tolerance=max(
+                float(os.environ.get("BENCH_COLD_ALTOL", 1e-1)),
+                opts2.constraint_tolerance))
+
+            def solve2_one(a, b, s=None):
+                kw = {} if s is None else dict(
+                    xs_init=s.xs, duals_init=s.duals,
+                    penalties_init=s.penalties)
+                sl = al_solve(dm2, obj2, blocks2, a, b, times2, dts2,
+                              o2_loose, **kw)
+                return projected_newton(
+                    dm2, obj2, blocks2, a, sl, times2, dts2, opts2,
+                    newton_iters=int(
+                        os.environ.get("BENCH_COLD_PN_ITERS", 3)),
+                    rescue=sl.converged)
+        else:
+            def solve2_one(a, b, s=None):
+                kw = {} if s is None else dict(
+                    xs_init=s.xs, duals_init=s.duals,
+                    penalties_init=s.penalties)
+                return al_solve(dm2, obj2, blocks2, a, b, times2, dts2,
+                                opts2, **kw)
+
+        first = jax.jit(jax.vmap(lambda a, b: solve2_one(a, b)))
+        cont = jax.jit(jax.vmap(lambda a, s: solve2_one(a, s.us, s)))
         # Same compaction + straggler-retry driver as the flagship fleet
         # (VERDICT r3 #5: the quadrotor tail machinery now closes the
         # cartpole/rocket tails too).
@@ -574,6 +623,7 @@ def main():
         "cold_solves_per_s": round(cold_rate, 1),
         "cold_converged_frac": round(conv0 / B, 4),
         "cold_max_viol": float(f"{viol0.max():.3e}"),
+        "cold_mean_J": round(cold_mean_J, 6),
         "steady_in_tol_frac": round(conv / B, 4),
         "steady_max_viol": float(f"{viol.max():.3e}"),
         "steady_p99_viol": float(f"{np.quantile(viol, 0.99):.3e}"),
