@@ -283,19 +283,18 @@ def main():
     # iterations).  BENCH_COLD_ALTOL sets the AL phase tolerance.
     cold_pn = int(os.environ.get("BENCH_COLD_PN", 1))
     if cold_pn:
-        from trajopt_tpu.solvers.projection import projected_newton
+        from trajopt_tpu.solvers.altro import altro_solve
         al_tol = float(os.environ.get("BENCH_COLD_ALTOL", 1e-1))
         pn_iters = int(os.environ.get("BENCH_COLD_PN_ITERS", 3))
-        opts_loose = opts_cold.replace(constraint_tolerance=al_tol)
+        opts_altro = opts_cold.replace(
+            projected_newton=True, al_phase_tolerance=al_tol,
+            projected_newton_iterations=pn_iters)
 
         def cold_solve_one(a, b, s=None):
             kw = {} if s is None else dict(
                 xs_init=s.xs, duals_init=s.duals, penalties_init=s.penalties)
-            sol = al_solve(dm, obj, blocks, a, b, times, dts, opts_loose,
-                           **kw)
-            return projected_newton(
-                dm, obj, blocks, a, sol, times, dts, opts_cold,
-                newton_iters=pn_iters, rescue=sol.converged)
+            return altro_solve(dm, obj, blocks, a, b, times, dts,
+                               opts_altro, **kw)
     else:
         def cold_solve_one(a, b, s=None):
             kw = {} if s is None else dict(
@@ -528,22 +527,20 @@ def main():
         # Same ALTRO composition as the flagship cold path: loose-tolerance
         # AL phase + projected-Newton close (BENCH_COLD_PN/ALTOL knobs).
         if cold_pn:
-            from trajopt_tpu.solvers.projection import projected_newton
-            o2_loose = opts2.replace(constraint_tolerance=max(
-                float(os.environ.get("BENCH_COLD_ALTOL", 1e-1)),
-                opts2.constraint_tolerance))
+            from trajopt_tpu.solvers.altro import altro_solve
+            opts2_altro = opts2.replace(
+                projected_newton=True,
+                al_phase_tolerance=float(
+                    os.environ.get("BENCH_COLD_ALTOL", 1e-1)),
+                projected_newton_iterations=int(
+                    os.environ.get("BENCH_COLD_PN_ITERS", 3)))
 
             def solve2_one(a, b, s=None):
                 kw = {} if s is None else dict(
                     xs_init=s.xs, duals_init=s.duals,
                     penalties_init=s.penalties)
-                sl = al_solve(dm2, obj2, blocks2, a, b, times2, dts2,
-                              o2_loose, **kw)
-                return projected_newton(
-                    dm2, obj2, blocks2, a, sl, times2, dts2, opts2,
-                    newton_iters=int(
-                        os.environ.get("BENCH_COLD_PN_ITERS", 3)),
-                    rescue=sl.converged)
+                return altro_solve(dm2, obj2, blocks2, a, b, times2, dts2,
+                                   opts2_altro, **kw)
         else:
             def solve2_one(a, b, s=None):
                 kw = {} if s is None else dict(

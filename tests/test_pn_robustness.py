@@ -54,3 +54,19 @@ def test_pn_never_worse(name):
     # convergence must never be lost by adding the polish
     if bool(sol_off.converged):
         assert bool(sol_on.converged)
+
+
+def test_al_phase_tolerance_composition():
+    """Altro's historical projected_newton_tolerance semantics
+    (opts.al_phase_tolerance): the AL phase exits at a loose violation and
+    the PN phase closes to constraint_tolerance — tight feasibility at
+    fewer AL iterations (the TPU cold bench's 2.7x lever).  Stopping the
+    dual iteration early leaves the cost marginally suboptimal (measured
+    ~0.13% here), so the J gate is the anchor-grade 0.5%."""
+    builder, opts = CONFIGS["dubins_parallel_park"]
+    tight = solve_problem(builder(), opts)
+    loose = solve_problem(builder(), opts.replace(al_phase_tolerance=1e-3))
+    assert bool(tight.converged) and bool(loose.converged)
+    assert float(loose.max_violation) < opts.constraint_tolerance
+    assert float(loose.J) == pytest.approx(float(tight.J), rel=5e-3)
+    assert int(loose.iterations) < int(tight.iterations)

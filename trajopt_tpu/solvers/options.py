@@ -12,6 +12,7 @@ so changing an option re-specializes the compiled solver.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 __all__ = ["SolverOptions"]
 
@@ -176,6 +177,20 @@ class SolverOptions:
     # Newton passes; larger problems need more (N=401 Dubins reaches 1e-13
     # at 8, tests/test_solve.py)
     projected_newton_iterations: int = 3
+    # AL-phase exit tolerance when the PN phase is on (Altro.jl's
+    # historical projected_newton_tolerance semantics: the AL loop runs to
+    # this LOOSER violation and Newton closes the rest).  None = run the
+    # AL phase to constraint_tolerance (the conservative default).  The AL
+    # phase's iterations buy feasibility digits Newton gets nearly free:
+    # the TPU cold bench measured 2.7x throughput at 65x tighter final
+    # feasibility and identical cost with 1e-1 (CLAUDE.md, bench.py
+    # BENCH_COLD_ALTOL sweep).  Tune per problem: stopping the dual
+    # iteration early can leave the cost marginally suboptimal (~0.1% on
+    # the Dubins park at 1e-3), and too loose a value hands PN an iterate
+    # whose active set is wrong (1e-1 fails to converge there) — the PN
+    # keep-guard then returns the AL iterate unconverged rather than a
+    # corrupted one.
+    al_phase_tolerance: Optional[float] = None
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)
