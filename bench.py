@@ -238,7 +238,9 @@ def main():
         penalty_max=1e6,
         jacobian_mode=os.environ.get("BENCH_COLD_JM", "exact"),
         constraint_tolerance=tol, cost_tolerance=1e-3,
-        cost_tolerance_intermediate=1e-2, gradient_tolerance=1e-4,
+        cost_tolerance_intermediate=float(
+            os.environ.get("BENCH_COLD_CTI", 1e-1)),
+        gradient_tolerance=1e-4,
         gradient_tolerance_intermediate=1e-3, bp_reg_initial=1e-6,
         iterations=int(os.environ.get("BENCH_COLD_ITERS", 120)),
         iterations_outer=int(os.environ.get("BENCH_COLD_OUTER", 5)),
