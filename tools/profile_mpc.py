@@ -4,6 +4,13 @@ Times each stage of al_solve_fixed(schedule=(1,)) in isolation at the
 bench shape (B=2048, N=101 quadrotor) to locate the wall-clock budget.
 Diagnostics to stderr; run alone (never concurrent with another TPU
 process).
+
+CAVEAT (2026-08-21): isolated stage timings OVERCOUNT what the fused
+full-step consumer pays (CLAUDE.md timing-methodology lessons), and this
+tool's opts differ from the bench defaults (linearize_dtype=same, LS=2
+vs bfloat16, LS=1) — a run today read FULL step 133 ms while the bench
+steady loop measured 53 ms/step the same hour.  Use these numbers only
+to RANK stages; trust only full-step bench A/Bs for decisions.
 """
 import os
 import sys
