@@ -242,6 +242,11 @@ def main():
             os.environ.get("BENCH_COLD_CTI", 1e-1)),
         gradient_tolerance=1e-4,
         gradient_tolerance_intermediate=1e-3, bp_reg_initial=1e-6,
+        # Tangent dtype for the cold linearization (A/B knob; the RTI path
+        # measured bfloat16 tangents +1.7% with no quality loss, but cold
+        # solves are iteration-count bound and weaker Jacobians inflate
+        # iterations — measure, don't assume).
+        linearize_dtype=os.environ.get("BENCH_COLD_LD", "same"),
         iterations=int(os.environ.get("BENCH_COLD_ITERS", 120)),
         iterations_outer=int(os.environ.get("BENCH_COLD_OUTER", 5)),
         iterations_inner=40,

@@ -9,6 +9,11 @@ Hermite-Simpson collocation defects over the flattened TrajOptNLP, solved as
 a sparse host-side NLP with jit-compiled JAX oracles — then cross-checked
 against the TPU-path ALTRO solver.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")  # host validation path: CPU + f64
