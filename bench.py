@@ -255,6 +255,7 @@ def main():
         # cold config tolerates narrower grids (A/B'd via BENCH_COLD_LS).
         iterations_linesearch=int(os.environ.get("BENCH_COLD_LS", 16)),
         error_state=bool(int(os.environ.get("BENCH_ES", 0))),
+        errstate_impl=os.environ.get("BENCH_ES_IMPL", "concat"),
         # stats=None keeps the solution pytree structure identical between
         # the cold al_solve and the fixed-schedule MPC steps — the timed
         # loop must never retrace.
@@ -529,6 +530,9 @@ def main():
         n2, m2 = prob.n, prob.m
         key2 = jax.random.PRNGKey(7)
         x0s2 = x02[None, :] + 0.05 * jax.random.normal(key2, (B2, n2), dtype)
+        # scenario 0 is the UNPERTURBED problem: external quality anchors
+        # (e.g. the Dubins Ipopt bound, moi_test.jl:22) gate on sol.J[0]
+        x0s2 = x0s2.at[0].set(x02)
         us02 = jnp.tile(np.asarray(prob.us)[None, :, :].astype(dtype),
                         (B2, 1, 1))
         # Same ALTRO composition as the flagship cold path: loose-tolerance
@@ -577,7 +581,7 @@ def main():
             f"({p2 + int(retried2)} passes) "
             f"-> {rate2:.1f} solves/s, converged {conv2}/{B2}, "
             f"max viol {v2.max():.2e}, p99 {np.quantile(v2, 0.99):.2e}")
-        return rate2, conv2 / B2, float(v2.max())
+        return rate2, conv2 / B2, float(v2.max()), s2
 
     secondary = {}
     if int(os.environ.get("BENCH_SECONDARY", 1)):
@@ -589,7 +593,7 @@ def main():
                      gradient_tolerance_intermediate=1e-3,
                      bp_reg_initial=1e-6, penalty_max=1e6,
                      record_stats=False, error_state=False)
-        r, cf, mv = secondary_cold(
+        r, cf, mv, _ = secondary_cold(
             "cartpole_cold", benchmarks.cartpole_swingup, B2,
             dict(base2, iterations=150, iterations_outer=8,
                  iterations_inner=40), 6)
@@ -598,13 +602,37 @@ def main():
                          cartpole_cold_max_viol=float(f"{mv:.3e}"))
         # rocket has no straggler tail (2 passes, 100% converged): full-batch
         # chunks avoid paying compaction's extra dispatches for nothing
-        r, cf, mv = secondary_cold(
+        r, cf, mv, _ = secondary_cold(
             "rocket_cold", benchmarks.rocket_landing, B2,
             dict(base2, iterations=150, iterations_outer=8,
                  iterations_inner=40, penalty_initial=10.0), 3, chunk2=B2)
         secondary.update(rocket_cold_solves_per_s=round(r, 1),
                          rocket_cold_converged_frac=round(cf, 4),
                          rocket_cold_max_viol=float(f"{mv:.3e}"))
+        # Remaining BASELINE configs on TPU (VERDICT r4 #6): quickstart
+        # block-move and the Dubins parallel park.
+        r, cf, mv, _ = secondary_cold(
+            "blockmove_cold", benchmarks.quickstart_problem, B2,
+            dict(base2, iterations=150, iterations_outer=8,
+                 iterations_inner=40), 3, chunk2=B2)
+        secondary.update(blockmove_cold_solves_per_s=round(r, 1),
+                         blockmove_cold_converged_frac=round(cf, 4),
+                         blockmove_cold_max_viol=float(f"{mv:.3e}"))
+        r, cf, mv, s2 = secondary_cold(
+            "dubins_cold", benchmarks.dubins_parallel_park, B2,
+            dict(base2, iterations=150, iterations_outer=8,
+                 iterations_inner=40), 6)
+        # External anchor (moi_test.jl:22-27): the reference's recorded
+        # Ipopt optimum for the UNPERTURBED park is cost*dt < 0.0541;
+        # scenario 0 is unperturbed (see secondary_cold).
+        dub_tf, dub_N = 3.0, 101
+        dub_J0_dt = float(s2.J[0]) * dub_tf / (dub_N - 1)
+        log(f"dubins anchor: J0*dt = {dub_J0_dt:.5f} "
+            f"(reference Ipopt bound 0.0541)")
+        secondary.update(dubins_cold_solves_per_s=round(r, 1),
+                         dubins_cold_converged_frac=round(cf, 4),
+                         dubins_cold_max_viol=float(f"{mv:.3e}"),
+                         dubins_J0_dt=round(dub_J0_dt, 5))
 
     log(f"steady: {steps} steps x {B} scenarios in {dt_total:.2f}s -> "
         f"{solves_per_s:.1f} solves/s")

@@ -26,3 +26,28 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1)
+
+
+# ---------------------------------------------------------------------------
+# Fast tier (`pytest -m fast`): the <5-min every-commit gate — unit layers,
+# the quickstart/Dubins end-to-end solves, and the retrace guards.  The full
+# suite (~30 min) stays the round gate, mirroring the reference's cheap vs
+# gated split (test/runtests.jl:17).
+# ---------------------------------------------------------------------------
+_FAST_MODULES = {
+    "test_costs", "test_cones", "test_constraints", "test_constraint_list",
+    "test_objective", "test_trajectories", "test_problem", "test_retrace",
+    "test_hybrid",
+}
+_FAST_TESTS = {
+    "test_quickstart_solve",
+    "test_dubins_parallel_park_matches_reference_optimum",
+    "test_quickstart_reaches_goal",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.name.split("[")[0]
+        if item.module.__name__ in _FAST_MODULES or name in _FAST_TESTS:
+            item.add_marker(pytest.mark.fast)

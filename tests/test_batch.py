@@ -68,9 +68,16 @@ def test_sharded_solve_on_mesh(rng):
     # sharded result equals unsharded batch result
     ref = batch_solve(dm, obj, blocks, x0s, us0, times, dts, opts)
     assert np.allclose(np.asarray(sol.us), np.asarray(ref.us), atol=1e-8)
-    # batch not divisible by mesh -> error
-    with pytest.raises(ValueError):
-        solve(x0s[:3], us0[:3])
+    # batch not divisible by mesh (VERDICT r4 #9): padded + masked, same
+    # results on the valid lanes, padded lanes excluded from stats
+    sol3, stats3 = solve(x0s[:3], us0[:3])
+    assert sol3.xs.shape[0] == 3
+    assert int(stats3.num_scenarios) == 3
+    assert int(stats3.num_converged) == 3
+    # masked-stats contract: total_cost sums exactly the valid lanes' J
+    assert float(stats3.total_cost) == pytest.approx(
+        float(jnp.sum(sol3.J)), rel=1e-12)
+    assert np.allclose(np.asarray(sol3.us), np.asarray(ref.us[:3]), atol=1e-8)
 
 
 def test_mpc_warm_start(rng):
@@ -268,3 +275,16 @@ def test_sharded_mpc_controller_matches_unsharded(rng):
     assert int(stats.num_converged) == int(sol_s.converged.sum())
     assert float(stats.max_violation) == pytest.approx(
         float(sol_s.max_violation.max()), abs=1e-12)
+
+    # non-divisible fleet (B=5 on 8 devices, VERDICT r4 #9): pad + mask
+    B5 = 5
+    obj_b5 = jax.tree_util.tree_map(lambda a: a[:B5], obj_b)
+    lin5 = (A0[:B5], B0[:B5], jnp.zeros((), jnp.int32))
+    sol5 = jax.tree_util.tree_map(lambda a: a[:B5], sol)
+    for _ in range(3):
+        sol5, lin5, stats5 = ctrl(sol5.xs[:, 1], sol5, lin5,
+                                  obj_override=obj_b5)
+    assert sol5.us.shape[0] == B5
+    assert int(stats5.num_scenarios) == B5
+    assert np.allclose(np.asarray(sol5.us), np.asarray(sol_u.us[:B5]),
+                       atol=1e-8)

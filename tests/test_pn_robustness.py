@@ -70,3 +70,22 @@ def test_al_phase_tolerance_composition():
     assert float(loose.max_violation) < opts.constraint_tolerance
     assert float(loose.J) == pytest.approx(float(tight.J), rel=5e-3)
     assert int(loose.iterations) < int(tight.iterations)
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_fast_composition_never_loses_convergence(name):
+    """VERDICT r4 #8: adopting the advertised fast composition
+    (al_phase_tolerance=1e-1) must never LOSE convergence relative to the
+    default.  When the loose AL exit hands PN a wrong active set (the
+    documented Dubins-park failure), solve_problem's adaptive fallback
+    re-enters the AL phase at the tight tolerance from the kept iterate."""
+    builder, opts = CONFIGS[name]
+    default = solve_problem(builder(), opts)
+    fast = solve_problem(builder(), opts.replace(al_phase_tolerance=1e-1))
+    if bool(default.converged):
+        assert bool(fast.converged), (
+            f"{name}: fast composition lost convergence "
+            f"(viol {float(fast.max_violation):.3e})")
+        assert float(fast.max_violation) < opts.constraint_tolerance
+        # same basin class: cost within anchor-grade agreement
+        assert float(fast.J) == pytest.approx(float(default.J), rel=1e-2)

@@ -53,6 +53,53 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SCENARIO_AXIS) -> Mes
     return Mesh(np.array(devices), (axis,))
 
 
+def _pad_rows(tree, pad: int):
+    """Pad every leaf's leading (scenario) axis by repeating the last row.
+
+    Non-divisible batches are padded up to the mesh multiple; padded lanes
+    solve a duplicate scenario (wasted compute, correct results) and are
+    masked out of the reduced stats.
+    """
+    if pad == 0:
+        return tree
+    return jax.tree.map(
+        lambda a: jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0),
+        tree)
+
+
+def _unpad_rows(tree, B: int):
+    return jax.tree.map(lambda a: a[:B], tree)
+
+
+def _put(a, sharding: NamedSharding):
+    """device_put that also works when the sharding spans processes.
+
+    Multi-host (jax.distributed) meshes include non-addressable devices;
+    there each process supplies its addressable shards of the host array
+    via make_array_from_callback (every process holds the full host batch —
+    the SPMD single-controller convention).
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(a, sharding)
+    a = np.asarray(a)
+    return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+
+def _masked_stats(sol: "ALSolution", valid: jax.Array) -> BatchStats:
+    """BatchStats over valid (non-padding) lanes only."""
+    nv = jnp.sum(valid.astype(jnp.int32))
+    denom = jnp.maximum(nv, 1).astype(jnp.float32)
+    return BatchStats(
+        num_converged=jnp.sum((sol.converged & valid).astype(jnp.int32)),
+        num_scenarios=nv,
+        mean_iterations=jnp.sum(
+            jnp.where(valid, sol.iterations.astype(jnp.float32), 0.0)) / denom,
+        # violations are >= 0, so 0 is a safe masked identity for max
+        max_violation=jnp.max(jnp.where(valid, sol.max_violation, 0.0)),
+        total_cost=jnp.sum(jnp.where(valid, sol.J, 0.0)),
+    )
+
+
 def make_sharded_solver(
     mesh: Mesh,
     model: DiscreteModel,
@@ -78,21 +125,14 @@ def make_sharded_solver(
     shard_b = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
 
-    def _solve_batch(obj_, x0s, us0):
+    def _solve_batch(obj_, x0s, us0, valid):
         sol = jax.vmap(lambda x0, us: al_solve(model, obj_, blocks, x0, us,
                                                times, dts, opts))(x0s, us0)
-        stats = BatchStats(
-            num_converged=jnp.sum(sol.converged.astype(jnp.int32)),
-            num_scenarios=jnp.asarray(x0s.shape[0], jnp.int32),
-            mean_iterations=jnp.mean(sol.iterations.astype(jnp.float32)),
-            max_violation=jnp.max(sol.max_violation),
-            total_cost=jnp.sum(sol.J),
-        )
-        return sol, stats
+        return sol, _masked_stats(sol, valid)
 
     jitted = jax.jit(
         _solve_batch,
-        in_shardings=(replicated, shard_b, shard_b),
+        in_shardings=(replicated, shard_b, shard_b, shard_b),
         out_shardings=(shard_b, replicated),
     )
 
@@ -100,11 +140,15 @@ def make_sharded_solver(
               obj_override: Optional[Objective] = None):
         B = x0s.shape[0]
         n_dev = mesh.devices.size
-        if B % n_dev != 0:
-            raise ValueError(f"batch {B} not divisible by mesh size {n_dev}")
-        x0s = jax.device_put(x0s, shard_b)
-        us0 = jax.device_put(us0, shard_b)
-        return jitted(obj_override if obj_override is not None else obj, x0s, us0)
+        pad = (-B) % n_dev
+        x0s, us0 = _pad_rows((x0s, us0), pad)
+        valid = np.arange(B + pad) < B
+        x0s = _put(x0s, shard_b)
+        us0 = _put(us0, shard_b)
+        valid = _put(valid, shard_b)
+        sol, stats = jitted(
+            obj_override if obj_override is not None else obj, x0s, us0, valid)
+        return _unpad_rows(sol, B), stats
 
     return solve
 
@@ -145,14 +189,19 @@ def make_sharded_mpc_controller(
     obj_axis = 0 if batch_objective else None
     obj_sharding = shard_b if batch_objective else replicated
 
-    def _stats(sol: ALSolution) -> BatchStats:
-        return BatchStats(
-            num_converged=jnp.sum(sol.converged.astype(jnp.int32)),
-            num_scenarios=jnp.asarray(sol.xs.shape[0], jnp.int32),
-            mean_iterations=jnp.mean(sol.iterations.astype(jnp.float32)),
-            max_violation=jnp.max(sol.max_violation),
-            total_cost=jnp.sum(sol.J),
-        )
+    def _pad_args(x_meas, prev, obj_):
+        """Pad scenario tensors up to the mesh multiple and commit them to
+        the scenario sharding (slices of a previously-unpadded solution
+        carry a stale sharding and must be re-laid-out)."""
+        B = x_meas.shape[0]
+        pad = (-B) % mesh.devices.size
+        x_meas, prev = jax.tree.map(
+            lambda a: _put(a, shard_b), _pad_rows((x_meas, prev), pad))
+        if batch_objective:
+            obj_ = jax.tree.map(lambda a: _put(a, shard_b),
+                                _pad_rows(obj_, pad))
+        valid = _put(np.arange(B + pad) < B, shard_b)
+        return x_meas, prev, obj_, valid, B
 
     if lin_window > 0:
         def _step(obj_, x, prev, lin):
@@ -164,21 +213,30 @@ def make_sharded_mpc_controller(
                            in_axes=(obj_axis, 0, 0, (0, 0, None)),
                            out_axes=(0, (0, 0, None)))
 
-        def _batch(obj_, x, prev, lin):
+        def _batch(obj_, x, prev, lin, valid):
             sol, lin_n = vmapped(obj_, x, prev, lin)
-            return sol, lin_n, _stats(sol)
+            return sol, lin_n, _masked_stats(sol, valid)
 
         jitted = jax.jit(
             _batch,
             in_shardings=(obj_sharding, shard_b, shard_b,
-                          (shard_b, shard_b, replicated)),
+                          (shard_b, shard_b, replicated), shard_b),
             out_shardings=(shard_b, (shard_b, shard_b, replicated),
                            replicated),
         )
 
         def controller(x_meas, prev, lin, obj_override=None):
-            return jitted(obj_override if obj_override is not None else obj,
-                          x_meas, prev, lin)
+            obj_ = obj_override if obj_override is not None else obj
+            x_meas, prev, obj_, valid, B = _pad_args(x_meas, prev, obj_)
+            pad = valid.shape[0] - B
+            lin = (_put(_pad_rows(lin[0], pad), shard_b),
+                   _put(_pad_rows(lin[1], pad), shard_b),
+                   _put(lin[2], replicated))
+            sol, lin_n, stats = jitted(obj_, x_meas, prev, lin, valid)
+            sol = _unpad_rows(sol, B)
+            lin_n = (_unpad_rows(lin_n[0], B), _unpad_rows(lin_n[1], B),
+                     lin_n[2])
+            return sol, lin_n, stats
 
         return controller
 
@@ -188,18 +246,20 @@ def make_sharded_mpc_controller(
 
     vmapped = jax.vmap(_step, in_axes=(obj_axis, 0, 0))
 
-    def _batch(obj_, x, prev):
+    def _batch(obj_, x, prev, valid):
         sol = vmapped(obj_, x, prev)
-        return sol, _stats(sol)
+        return sol, _masked_stats(sol, valid)
 
     jitted = jax.jit(
         _batch,
-        in_shardings=(obj_sharding, shard_b, shard_b),
+        in_shardings=(obj_sharding, shard_b, shard_b, shard_b),
         out_shardings=(shard_b, replicated),
     )
 
     def controller(x_meas, prev, obj_override=None):
-        return jitted(obj_override if obj_override is not None else obj,
-                      x_meas, prev)
+        obj_ = obj_override if obj_override is not None else obj
+        x_meas, prev, obj_, valid, B = _pad_args(x_meas, prev, obj_)
+        sol, stats = jitted(obj_, x_meas, prev, valid)
+        return _unpad_rows(sol, B), stats
 
     return controller

@@ -120,8 +120,31 @@ def solve_problem(prob: Problem, opts: Optional[SolverOptions] = None,
                                opts, xs_init=xs)
 
     fn = jax.jit(_solve) if jit else _solve
-    return fn(prob.obj, blocks, prob.x0, prob.us, prob.times, prob.dts,
-              prob.xs)
+    sol = fn(prob.obj, blocks, prob.x0, prob.us, prob.times, prob.dts,
+             prob.xs)
+
+    # Adaptive fallback (VERDICT r4 #8): under the fast composition
+    # (al_phase_tolerance set), too loose an AL exit can hand PN an iterate
+    # with the WRONG active set — the keep-guard then returns it unconverged
+    # rather than corrupted.  Rather than fail silently-slow, re-enter the
+    # AL phase at the tight constraint_tolerance warm-started from the kept
+    # iterate (trajectory + duals + penalties), then polish again.  This is
+    # a host-level continuation so batched/vmapped callers (which manage
+    # their own continuation, e.g. bench.py's retirement loop) never pay
+    # for the second phase in-graph.
+    if (opts.projected_newton and opts.al_phase_tolerance is not None
+            and not opts.infeasible and not bool(sol.converged)):
+        tight = opts.replace(al_phase_tolerance=None)
+
+        def _resolve(obj, block_tuple, x0, us, times, dts, xs, duals, pens):
+            return altro_solve(model, obj, block_tuple, x0, us, times, dts,
+                               tight, xs_init=xs, duals_init=duals,
+                               penalties_init=pens)
+
+        fn2 = jax.jit(_resolve) if jit else _resolve
+        sol = fn2(prob.obj, blocks, prob.x0, sol.us, prob.times, prob.dts,
+                  sol.xs, sol.duals, sol.penalties)
+    return sol
 
 
 solve = solve_problem

@@ -89,6 +89,52 @@ def _es_vec(G, v, r0, r1):
         v[..., r1:]], axis=-1)
 
 
+# "mulsum" variants: same math as the einsum forms, expressed as
+# broadcast-multiply + sum.  dot_general MATERIALIZES its operands in the
+# TPU's padded (8, 128)-tiled layout — and for these tiny last dims (3, 4,
+# 12, 13 lanes all pad to 128) each materialization costs ~8-40x its
+# logical bytes; multiply/reduce lower to elementwise+reduce fusions XLA
+# can keep entirely in registers/VMEM inside the surrounding loop fusion.
+
+def _es_rows_ms(G, M, r0, r1):
+    mid = jnp.sum(G[..., :, :, None] * M[..., r0:r1, None, :], axis=-3)
+    return jnp.concatenate([M[..., :r0, :], mid, M[..., r1:, :]], axis=-2)
+
+
+def _es_cols_ms(G, M, r0, r1):
+    mid = jnp.sum(M[..., r0:r1, None] * G[..., None, :, :], axis=-2)
+    return jnp.concatenate([M[..., :r0], mid, M[..., r1:]], axis=-1)
+
+
+def _es_vec_ms(G, v, r0, r1):
+    mid = jnp.sum(G * v[..., r0:r1, None], axis=-2)
+    return jnp.concatenate([v[..., :r0], mid, v[..., r1:]], axis=-1)
+
+
+def _dense_E(G, n, r0, r1):
+    """Dense E(x) = blockdiag(I_{r0}, G, I_{n-r1}) as one (k, n, nt) tensor
+    (static slice sets, no scatters)."""
+    k = G.shape[0]
+    q = G.shape[-1]
+    nt = n - (r1 - r0) + q
+    dtype = G.dtype
+    E = jnp.zeros((k, n, nt), dtype)
+    E = E.at[:, :r0, :r0].set(jnp.eye(r0, dtype=dtype))
+    E = E.at[:, r0:r1, r0:r0 + q].set(G)
+    E = E.at[:, r1:, r0 + q:].set(jnp.eye(n - r1, dtype=dtype))
+    return E
+
+
+def _dense_rows_ms(E, M):
+    """E^T M via multiply+reduce (E: (k, n, p), M: (k, n, j)) -> (k, p, j)."""
+    return jnp.sum(E[..., :, :, None] * M[..., :, None, :], axis=-3)
+
+
+def _dense_cols_ms(E, M):
+    """M E via multiply+reduce (M: (k, i, n), E: (k, n, q)) -> (k, i, q)."""
+    return jnp.sum(M[..., :, :, None] * E[..., None, :, :], axis=-2)
+
+
 def _linearize_knots(model: DiscreteModel, xk, uk, tk, dtk,
                      opts: SolverOptions):
     """Batched discrete Jacobians at an explicit set of knots.
@@ -199,18 +245,37 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
 
     if _use_errstate(model, opts):
         blk = getattr(model.model, "errstate_block", None)
-        if blk is not None:
+        if blk is not None and opts.errstate_impl == "dense_ms":
+            # Dense-E multiply/reduce path: ONE (k, n, nt) E tensor, rows
+            # and cols applied as broadcast-mult + sum (fusable; no
+            # dot_general operand materialization, no per-slice concats).
+            r0, r1 = blk
+            n = xs.shape[-1]
+            G = jax.vmap(model.model.errstate_G)(xs)
+            E = _dense_E(G, n, r0, r1)                          # (N, n, nt)
+            A = _dense_rows_ms(E[1:], _dense_cols_ms(A, E[:-1]))
+            B = _dense_rows_ms(E[1:], B)
+            exp = exp.replace(
+                x=jnp.sum(E * exp.x[..., :, None], axis=-2),
+                xx=_dense_rows_ms(E, _dense_cols_ms(exp.xx, E)),
+                ux=_dense_cols_ms(exp.ux, E),
+            )
+        elif blk is not None:
             # Structured path: E = blockdiag(I, G(x), I).  Same math as the
             # dense einsums below up to reassociation, at a fraction of the
             # HBM traffic (no (N, n, nt) E tensors, no 3-operand einsums).
             r0, r1 = blk
+            if opts.errstate_impl == "mulsum":
+                es_rows, es_cols, es_vec = _es_rows_ms, _es_cols_ms, _es_vec_ms
+            else:
+                es_rows, es_cols, es_vec = _es_rows, _es_cols, _es_vec
             G = jax.vmap(model.model.errstate_G)(xs)           # (N, p, q)
-            A = _es_rows(G[1:], _es_cols(G[:-1], A, r0, r1), r0, r1)
-            B = _es_rows(G[1:], B, r0, r1)
+            A = es_rows(G[1:], es_cols(G[:-1], A, r0, r1), r0, r1)
+            B = es_rows(G[1:], B, r0, r1)
             exp = exp.replace(
-                x=_es_vec(G, exp.x, r0, r1),
-                xx=_es_rows(G, _es_cols(G, exp.xx, r0, r1), r0, r1),
-                ux=_es_cols(G, exp.ux, r0, r1),
+                x=es_vec(G, exp.x, r0, r1),
+                xx=es_rows(G, es_cols(G, exp.xx, r0, r1), r0, r1),
+                ux=es_cols(G, exp.ux, r0, r1),
             )
         else:
             E = jax.vmap(model.model.errstate_jacobian)(xs)        # (N, n, nt)

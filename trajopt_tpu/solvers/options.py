@@ -161,6 +161,14 @@ class SolverOptions:
     # expansion) — Altro's default behavior for RigidBody models.  Models
     # with errstate_dim == n are unaffected.
     error_state: bool = True
+    # Implementation of the structured error-state transform (TPU A/B knob,
+    # VERDICT r4 #3): "concat" = static slice concats + tiny einsums;
+    # "mulsum" = same structure with broadcast-multiply+reduce instead of
+    # einsum (dot_general materializes its operands in the padded
+    # (8, 128)-tiled layout — ~8-40x the logical bytes for these tiny
+    # dims; mult+reduce stays inside XLA loop fusions); "dense_ms" = one
+    # dense (k, n, nt) E tensor applied with mult+reduce.
+    errstate_impl: str = "concat"
 
     # -- projected-Newton solution polish (ALTRO phase 2) --------------------
     # Default ON: phase 2 is integral to ALTRO (docs/old/solvers.md; the
@@ -192,5 +200,21 @@ class SolverOptions:
     # corrupted one.
     al_phase_tolerance: Optional[float] = None
 
+    def __post_init__(self):
+        # Enum-style knobs fail loudly on typos ("bf16" silently behaving as
+        # "same" would let an A/B run measure the baseline while believing it
+        # measured half-width tangents — ADVICE r4).
+        _check("linearize_dtype", self.linearize_dtype, ("same", "bfloat16"))
+        _check("jacobian_mode", self.jacobian_mode,
+               ("exact", "approx", "approx1", "chain", "analytic1", "analytic2"))
+        _check("riccati", self.riccati, ("sequential", "parallel"))
+        _check("errstate_impl", self.errstate_impl,
+               ("concat", "mulsum", "dense_ms"))
+
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)
+
+
+def _check(name, value, allowed):
+    if value not in allowed:
+        raise ValueError(f"SolverOptions.{name}={value!r}; expected one of {allowed}")
