@@ -219,7 +219,11 @@ def main():
     # every scenario at the slowest lane's pace, so smaller cold chunks let
     # easy chunks retire early; the fixed-schedule MPC step has no while_loop
     # and amortizes dispatch best at the large chunk.
-    cold_chunk = min(B, chunk, int(os.environ.get("BENCH_COLD_CHUNK", 64)))
+    # 256 re-tuned 2026-08-21 (r5): the PN composition tightened the cold
+    # iteration distribution (mean 35.3, chunk stragglers ~38), so the old
+    # straggler-driven 64 left lane efficiency on the table: 64: 169/s,
+    # 256: 198/s, 512: 183/s, 2048: 146/s (matmul body).
+    cold_chunk = min(B, chunk, int(os.environ.get("BENCH_COLD_CHUNK", 256)))
     assert B % cold_chunk == 0
     tf = 5.0
 
@@ -256,6 +260,7 @@ def main():
         iterations_linesearch=int(os.environ.get("BENCH_COLD_LS", 16)),
         error_state=bool(int(os.environ.get("BENCH_ES", 0))),
         errstate_impl=os.environ.get("BENCH_ES_IMPL", "concat"),
+        riccati_body=os.environ.get("BENCH_RB", "mulsum"),
         # stats=None keeps the solution pytree structure identical between
         # the cold al_solve and the fixed-schedule MPC steps — the timed
         # loop must never retrace.
@@ -298,11 +303,46 @@ def main():
             projected_newton=True, al_phase_tolerance=al_tol,
             projected_newton_iterations=pn_iters)
 
-        def cold_solve_one(a, b, s=None):
-            kw = {} if s is None else dict(
-                xs_init=s.xs, duals_init=s.duals, penalties_init=s.penalties)
-            return altro_solve(dm, obj, blocks, a, b, times, dts,
-                               opts_altro, **kw)
+        # Staged Jacobian/line-search schedule (VERDICT r4 #1): a CHEAP
+        # stage-A AL phase (approximate Jacobians, narrow alpha grid) runs
+        # the iterate from the hover start down to BENCH_COLD_STAGE_TOL,
+        # then the exact composition takes over warm-started — composed
+        # IN-GRAPH (options are static), so there is no extra dispatch.
+        # Prior negative results cover only UNIFORM weakening.
+        staged = int(os.environ.get("BENCH_COLD_STAGED", 0))
+        if staged:
+            opts_stage = opts_cold.replace(
+                jacobian_mode=os.environ.get("BENCH_COLD_STAGE_JM", "approx1"),
+                linearize_dtype=os.environ.get("BENCH_COLD_STAGE_LD",
+                                               "bfloat16"),
+                iterations_linesearch=int(
+                    os.environ.get("BENCH_COLD_STAGE_LS", 16)),
+                constraint_tolerance=float(
+                    os.environ.get("BENCH_COLD_STAGE_TOL", 3e-1)),
+                iterations=int(os.environ.get("BENCH_COLD_STAGE_ITERS", 60)),
+                projected_newton=False, final_polish=False)
+
+            def cold_solve_one(a, b, s=None):
+                if s is None:
+                    sa = al_solve(dm, obj, blocks, a, b, times, dts,
+                                  opts_stage)
+                    sol = altro_solve(dm, obj, blocks, a, sa.us, times, dts,
+                                      opts_altro, xs_init=sa.xs,
+                                      duals_init=sa.duals,
+                                      penalties_init=sa.penalties)
+                    return sol.replace(
+                        iterations=sol.iterations + sa.iterations)
+                return altro_solve(dm, obj, blocks, a, s.us, times, dts,
+                                   opts_altro, xs_init=s.xs,
+                                   duals_init=s.duals,
+                                   penalties_init=s.penalties)
+        else:
+            def cold_solve_one(a, b, s=None):
+                kw = {} if s is None else dict(
+                    xs_init=s.xs, duals_init=s.duals,
+                    penalties_init=s.penalties)
+                return altro_solve(dm, obj, blocks, a, b, times, dts,
+                                   opts_altro, **kw)
     else:
         def cold_solve_one(a, b, s=None):
             kw = {} if s is None else dict(
@@ -431,6 +471,17 @@ def main():
         f"p99 {np.quantile(viol0, 0.99):.2e}, "
         f"mean J {float(jnp.mean(sol.J)):.6f}")
     cold_mean_J = float(jnp.mean(sol.J))
+
+    if int(os.environ.get("BENCH_COLD_ONLY", 0)):
+        # experiment mode: cold metrics only, one JSON line, exit
+        print(json.dumps({
+            "metric": "quadrotor_cold_batched", "value": round(cold_rate, 1),
+            "unit": "solves/s/chip", "vs_baseline": round(cold_rate / 1000, 3),
+            "cold_converged_frac": round(conv0 / B, 4),
+            "cold_max_viol": float(f"{viol0.max():.3e}"),
+            "cold_mean_iters": round(float(sol.iterations.mean()), 1),
+            "cold_mean_J": round(cold_mean_J, 6)}))
+        return
 
     schedule = tuple(int(x) for x in
                      os.environ.get("BENCH_SCHEDULE", "1").split(","))

@@ -130,7 +130,7 @@ def _dense_rows_ms(E, M):
     return jnp.sum(E[..., :, :, None] * M[..., :, None, :], axis=-3)
 
 
-def _dense_cols_ms(E, M):
+def _dense_cols_ms(M, E):
     """M E via multiply+reduce (M: (k, i, n), E: (k, n, q)) -> (k, i, q)."""
     return jnp.sum(M[..., :, :, None] * E[..., None, :, :], axis=-2)
 
@@ -292,28 +292,68 @@ def _backward_pass(model: DiscreteModel, expand_fn, xs, us, times, dts, rho, drh
         Vxx = exp.xx[-1]
         eye_m = jnp.eye(m, dtype=dtype)
 
-        def bp_step(carry, inp):
-            Vx, Vxx, dV1, dV2, fail = carry
-            A_k, B_k, lxx, luu, lux, lx, lu = inp
-            Qx = lx + A_k.T @ Vx
-            Qu = lu + B_k.T @ Vx
-            Qxx = lxx + A_k.T @ Vxx @ A_k
-            Quu = luu + B_k.T @ Vxx @ B_k
-            Qux = lux + B_k.T @ Vxx @ A_k
-            Quu_reg = Quu + rho * eye_m
+        if opts.riccati_body == "mulsum":
+            # Broadcast-multiply+reduce algebra: under a large vmapped
+            # batch XLA lays the Riccati inputs out batch-minor (scenarios
+            # in lanes), where the per-knot dot_generals force per-step
+            # relayouts — measured 99 ms/iteration for the @ body vs 15 ms
+            # for this form at B=2048 (v5e, 2026-08-21; /tmp/cold_decomp).
+            mtv = lambda X, v: jnp.sum(X * v[..., :, None], axis=-2)
+            mv = lambda X, v: jnp.sum(X * v[..., None, :], axis=-1)
+            mm = lambda X, Y: jnp.sum(
+                X[..., :, :, None] * Y[..., None, :, :], axis=-2)
+            mtm = lambda X, Y: jnp.sum(
+                X[..., :, :, None] * Y[..., :, None, :], axis=-3)
+            tr = lambda X: jnp.swapaxes(X, -1, -2)
 
-            L, ok = chol_small(0.5 * (Quu_reg + Quu_reg.T))
-            bad = ~ok
-            K = -chol_solve_small(L, Qux)
-            d = -chol_solve_small(L, Qu)
+            def bp_step(carry, inp):
+                Vx, Vxx, dV1, dV2, fail = carry
+                A_k, B_k, lxx, luu, lux, lx, lu = inp
+                VA = mm(Vxx, A_k)
+                Qx = lx + mtv(A_k, Vx)
+                Qu = lu + mtv(B_k, Vx)
+                Qxx = lxx + mtm(A_k, VA)
+                Quu = luu + mtm(B_k, mm(Vxx, B_k))
+                Qux = lux + mtm(B_k, VA)
+                Quu_reg = Quu + rho * eye_m
 
-            Vx_n = Qx + K.T @ Quu @ d + K.T @ Qu + Qux.T @ d
-            Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
-            Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
-            dV1_n = dV1 + d @ Qu
-            dV2_n = dV2 + 0.5 * d @ Quu @ d
-            fail_n = fail | bad | jnp.any(jnp.isnan(Vx_n)) | jnp.any(jnp.isnan(Vxx_n))
-            return (Vx_n, Vxx_n, dV1_n, dV2_n, fail_n), (K, d)
+                L, ok = chol_small(0.5 * (Quu_reg + tr(Quu_reg)))
+                bad = ~ok
+                K = -chol_solve_small(L, Qux)
+                d = -chol_solve_small(L, Qu)
+
+                Kt_Quu = mtm(K, Quu)
+                Vx_n = Qx + mv(Kt_Quu, d) + mtv(K, Qu) + mtv(Qux, d)
+                Vxx_n = Qxx + mm(Kt_Quu, K) + mtm(K, Qux) + mtm(Qux, K)
+                Vxx_n = 0.5 * (Vxx_n + tr(Vxx_n))
+                dV1_n = dV1 + jnp.sum(d * Qu, axis=-1)
+                dV2_n = dV2 + 0.5 * jnp.sum(d * mv(Quu, d), axis=-1)
+                fail_n = fail | bad | jnp.any(jnp.isnan(Vx_n)) \
+                    | jnp.any(jnp.isnan(Vxx_n))
+                return (Vx_n, Vxx_n, dV1_n, dV2_n, fail_n), (K, d)
+        else:
+            def bp_step(carry, inp):
+                Vx, Vxx, dV1, dV2, fail = carry
+                A_k, B_k, lxx, luu, lux, lx, lu = inp
+                Qx = lx + A_k.T @ Vx
+                Qu = lu + B_k.T @ Vx
+                Qxx = lxx + A_k.T @ Vxx @ A_k
+                Quu = luu + B_k.T @ Vxx @ B_k
+                Qux = lux + B_k.T @ Vxx @ A_k
+                Quu_reg = Quu + rho * eye_m
+
+                L, ok = chol_small(0.5 * (Quu_reg + Quu_reg.T))
+                bad = ~ok
+                K = -chol_solve_small(L, Qux)
+                d = -chol_solve_small(L, Qu)
+
+                Vx_n = Qx + K.T @ Quu @ d + K.T @ Qu + Qux.T @ d
+                Vxx_n = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+                Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+                dV1_n = dV1 + d @ Qu
+                dV2_n = dV2 + 0.5 * d @ Quu @ d
+                fail_n = fail | bad | jnp.any(jnp.isnan(Vx_n)) | jnp.any(jnp.isnan(Vxx_n))
+                return (Vx_n, Vxx_n, dV1_n, dV2_n, fail_n), (K, d)
 
         zero = jnp.zeros((), dtype)
         inputs = (A, B, exp.xx[:-1], exp.uu[:-1], exp.ux[:-1], exp.x[:-1], exp.u[:-1])

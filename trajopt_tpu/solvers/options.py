@@ -91,6 +91,15 @@ class SolverOptions:
     # parallel-in-time Riccati (O(log N) depth — the long-horizon/knot-axis
     # parallelism, SURVEY.md §5; exact match to sequential at rho = 0).
     riccati: str = "sequential"
+    # Algebra inside the sequential recursion: "matmul" (tiny dot_generals)
+    # or "mulsum" (broadcast-multiply+reduce — with large vmapped batches
+    # XLA lays the scan inputs out batch-minor, where per-knot dot_generals
+    # force per-step relayouts; the mulsum form measured 99 -> 15
+    # ms/iteration at B=2048 on v5e, 2026-08-21).  Full-step A/B on the
+    # flagship bench: RTI 38,440 -> 122,022 solves/s and cold 169 -> 301
+    # solves/s, identical results (f64 CPU check: max|du| ~ 1e-13).
+    # CPU f64 solves read ~9% slower — the TPU-first default stands.
+    riccati_body: str = "mulsum"
 
     # -- AL expansion order ---------------------------------------------------
     # False (default): Gauss-Newton AL Hessian mu J' dPi'dPi J.  True: add
@@ -168,7 +177,12 @@ class SolverOptions:
     # (8, 128)-tiled layout — ~8-40x the logical bytes for these tiny
     # dims; mult+reduce stays inside XLA loop fusions); "dense_ms" = one
     # dense (k, n, nt) E tensor applied with mult+reduce.
-    errstate_impl: str = "concat"
+    # Measured (v5e, B=2048 quadrotor RTI, BENCH_ES=1, 2026-08-21):
+    # mulsum 35823 solves/s vs concat 16637 vs dense_ms 32452 — the
+    # einsum path's dot_general operand materializations were 75% of the
+    # error-state workload's step time.  All three are bit-identical in
+    # f64 (CPU check) and within f32 reassociation noise on TPU.
+    errstate_impl: str = "mulsum"
 
     # -- projected-Newton solution polish (ALTRO phase 2) --------------------
     # Default ON: phase 2 is integral to ALTRO (docs/old/solvers.md; the
@@ -210,6 +224,7 @@ class SolverOptions:
         _check("riccati", self.riccati, ("sequential", "parallel"))
         _check("errstate_impl", self.errstate_impl,
                ("concat", "mulsum", "dense_ms"))
+        _check("riccati_body", self.riccati_body, ("matmul", "mulsum"))
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)
