@@ -337,12 +337,22 @@ def main():
                                    duals_init=s.duals,
                                    penalties_init=s.penalties)
         else:
+            # Continuation passes run the AL phase at the TIGHT tolerance
+            # (al_phase_tolerance=None) — the batched mirror of
+            # solve_problem's adaptive fallback (VERDICT r4 #8): when the
+            # loose first pass hands PN a wrong active set (the keep-guard
+            # returns the AL iterate unconverged), the warm re-entry
+            # closes at constraint_tolerance instead of looping loose.
+            opts_altro_tight = opts_altro.replace(al_phase_tolerance=None)
+
             def cold_solve_one(a, b, s=None):
-                kw = {} if s is None else dict(
-                    xs_init=s.xs, duals_init=s.duals,
-                    penalties_init=s.penalties)
+                if s is None:
+                    return altro_solve(dm, obj, blocks, a, b, times, dts,
+                                       opts_altro)
                 return altro_solve(dm, obj, blocks, a, b, times, dts,
-                                   opts_altro, **kw)
+                                   opts_altro_tight, xs_init=s.xs,
+                                   duals_init=s.duals,
+                                   penalties_init=s.penalties)
     else:
         def cold_solve_one(a, b, s=None):
             kw = {} if s is None else dict(
@@ -568,7 +578,8 @@ def main():
 
     # ---- secondary BASELINE configs (VERDICT r2 #6): batched cold-solve
     # rates for cartpole swing-up and the rocket soft-landing SOCP --------
-    def secondary_cold(name, builder, B2, opts2_kw, passes2, chunk2=128):
+    def secondary_cold(name, builder, B2, opts2_kw, passes2, chunk2=128,
+                       altol="global", x0_clip=None):
         from trajopt_tpu.solvers import SolverOptions as SO
         from trajopt_tpu.solvers.altro import _problem_blocks
         from trajopt_tpu.utils.host import to_host
@@ -581,6 +592,15 @@ def main():
         n2, m2 = prob.n, prob.m
         key2 = jax.random.PRNGKey(7)
         x0s2 = x02[None, :] + 0.05 * jax.random.normal(key2, (B2, n2), dtype)
+        if x0_clip is not None:
+            # keep perturbed starts inside the REACHABLE set: state-bounded
+            # configs (Dubins park corridor) are structurally infeasible
+            # from starts the dynamics cannot bring inside the bounds
+            # within one knot (measured r5: y0 < 0 scenarios max out at
+            # viol = |y0| + drift forever)
+            lo, hi = x0_clip
+            x0s2 = jnp.clip(x0s2, jnp.asarray(lo, dtype),
+                            jnp.asarray(hi, dtype))
         # scenario 0 is the UNPERTURBED problem: external quality anchors
         # (e.g. the Dubins Ipopt bound, moi_test.jl:22) gate on sol.J[0]
         x0s2 = x0s2.at[0].set(x02)
@@ -590,19 +610,25 @@ def main():
         # AL phase + projected-Newton close (BENCH_COLD_PN/ALTOL knobs).
         if cold_pn:
             from trajopt_tpu.solvers.altro import altro_solve
+            if altol == "global":
+                altol = float(os.environ.get("BENCH_COLD_ALTOL", 1e-1))
             opts2_altro = opts2.replace(
                 projected_newton=True,
-                al_phase_tolerance=float(
-                    os.environ.get("BENCH_COLD_ALTOL", 1e-1)),
+                al_phase_tolerance=altol,
                 projected_newton_iterations=int(
                     os.environ.get("BENCH_COLD_PN_ITERS", 3)))
 
+            # tight-continuation fallback, as in the flagship cold path
+            opts2_tight = opts2_altro.replace(al_phase_tolerance=None)
+
             def solve2_one(a, b, s=None):
-                kw = {} if s is None else dict(
-                    xs_init=s.xs, duals_init=s.duals,
-                    penalties_init=s.penalties)
+                if s is None:
+                    return altro_solve(dm2, obj2, blocks2, a, b, times2,
+                                       dts2, opts2_altro)
                 return altro_solve(dm2, obj2, blocks2, a, b, times2, dts2,
-                                   opts2_altro, **kw)
+                                   opts2_tight, xs_init=s.xs,
+                                   duals_init=s.duals,
+                                   penalties_init=s.penalties)
         else:
             def solve2_one(a, b, s=None):
                 kw = {} if s is None else dict(
@@ -669,10 +695,14 @@ def main():
         secondary.update(blockmove_cold_solves_per_s=round(r, 1),
                          blockmove_cold_converged_frac=round(cf, 4),
                          blockmove_cold_max_viol=float(f"{mv:.3e}"))
+        # dubins runs the CLASSIC composition (AL to tolerance + PN):
+        # the loose-AL fast composition is the documented failure on this
+        # config (wrong PN active set; options.py al_phase_tolerance note)
         r, cf, mv, s2 = secondary_cold(
             "dubins_cold", benchmarks.dubins_parallel_park, B2,
             dict(base2, iterations=150, iterations_outer=8,
-                 iterations_inner=40), 6)
+                 iterations_inner=40), 6, altol=None,
+            x0_clip=([-0.2, 0.0, -np.inf], [0.2, 1.4, np.inf]))
         # External anchor (moi_test.jl:22-27): the reference's recorded
         # Ipopt optimum for the UNPERTURBED park is cost*dt < 0.0541;
         # scenario 0 is unperturbed (see secondary_cold).

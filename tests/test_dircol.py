@@ -102,3 +102,83 @@ def test_dircol_dubins_parallel_park():
     solver.solve()
     assert solver.max_violation() < 1e-6
     assert solver.converged()
+
+
+def test_dircol_quadrotor_cold_anchor():
+    """VERDICT r4 #4: a cold INDEPENDENT solve (DIRCOL: Hermite-Simpson
+    collocation, FOH controls, dense host SQP, own rollout initialization)
+    pointed at the flagship config at reduced N.  Measured 2026-08-21
+    (N=31): DIRCOL J=0.023495, ALTRO J=0.023747 — +1.07% gap across the
+    transcriptions (RK4+ZOH vs HS+FOH) and the zig-zag's flat valley; the
+    gate allows 5%.  A materially suboptimal or wrong ALTRO basin (the
+    nearby basins differ by >8%) fails this."""
+    from trajopt_tpu.benchmarks import quadrotor_zigzag
+    from trajopt_tpu.solvers import SolverOptions
+
+    opts = SolverOptions(penalty_scaling=100.0, penalty_initial=0.1)
+    altro = ALTROSolver(quadrotor_zigzag(N=31), opts)
+    altro.solve()
+    assert bool(altro.solution.converged)
+    prob = quadrotor_zigzag(N=31)
+    prob.rollout()
+    d = DIRCOLSolver(prob, DIRCOLOptions(max_iterations=500))
+    d.solve()
+    assert d.converged() and d.max_violation() < 1e-6
+    gap = (altro.cost() - d.cost()) / d.cost()
+    assert abs(gap) < 5e-2, f"ALTRO vs DIRCOL gap {gap:+.3%}"
+
+
+def test_dircol_rocket_cold_anchor():
+    """Rocket SOCP cold DIRCOL anchor (VERDICT r4 #4).  The FOH/ZOH
+    transcription gap is LARGE here (measured +27.9% at N=31, dt=0.33:
+    linearly-interpolated thrust is genuinely cheaper on this config), so
+    the meaningful gates are (a) DIRCOL converges tightly, (b) the FOH
+    relaxation is never more expensive than ALTRO's ZOH optimum, (c) the
+    gap stays inside the measured window.  ALTRO's own transcription
+    optimality is certified exactly by test_anchors.py::test_rocket_anchor
+    (cold SLSQP on the same RK4+ZOH discretization matches to 4 decimals)."""
+    from trajopt_tpu.benchmarks import rocket_landing
+    from trajopt_tpu.solvers import SolverOptions
+
+    altro = ALTROSolver(rocket_landing(N=31), SolverOptions())
+    altro.solve()
+    assert bool(altro.solution.converged)
+    prob = rocket_landing(N=31)
+    prob.rollout()
+    d = DIRCOLSolver(prob, DIRCOLOptions(max_iterations=500))
+    d.solve()
+    assert d.converged() and d.max_violation() < 1e-6
+    assert d.cost() <= altro.cost() * (1 + 1e-6)  # FOH relaxation is cheaper
+    gap = (altro.cost() - d.cost()) / d.cost()
+    assert gap < 0.40, f"gap {gap:+.3%} beyond the measured FOH/ZOH window"
+
+
+def test_warm_start_defect_guard():
+    """r5 regression: a dynamically-INCONSISTENT warm-start state
+    trajectory (e.g. a DIRCOL solution under ALTRO's RK4 stepping) must
+    not be returned as a 'converged' iterate — it is constraint-feasible
+    and artificially cheap but violates the dynamics.  The defect guard
+    (SolverOptions.warm_start_defect_tolerance) falls back to the rollout;
+    the returned trajectory always satisfies the step equation."""
+    from trajopt_tpu.benchmarks import rocket_landing
+    from trajopt_tpu.solvers import SolverOptions
+
+    cold = ALTROSolver(rocket_landing(N=31), SolverOptions())
+    cold.solve()
+    prob = rocket_landing(N=31)
+    prob.rollout()
+    d = DIRCOLSolver(prob, DIRCOLOptions(max_iterations=500))
+    xs_d, us_d = d.solve()
+    p2 = rocket_landing(N=31)
+    p2.initial_controls(us_d[:-1])
+    p2.initial_states(xs_d)  # NOT an RK4 rollout: defect ~ O(1)
+    w = ALTROSolver(p2, SolverOptions())
+    w.solve()
+    xs_w, us_w = w.solution.xs, w.solution.us
+    pred = jax.vmap(p2.model.step)(xs_w[:-1], us_w[:-1],
+                                   p2.times[:-1], p2.dts[:-1])
+    defect = float(jnp.max(jnp.abs(pred - xs_w[1:])))
+    assert defect < 1e-8, f"returned trajectory defect {defect:.2e}"
+    # and the cost is the genuine (rollout-consistent) optimum, not the
+    # foreign-transcription artifact (~22% below it)
+    assert w.cost() == pytest.approx(cold.cost(), rel=1e-6)

@@ -16,6 +16,16 @@ vmapped scan tracks the data: it LOST in every regime, so it was deleted
 The scan is near the HBM speed-of-light for this recursion (reads ~400 MB
 of expansion blocks at B=2048); the latency-bound regime is served by the
 associative-scan parallel Riccati (SolverOptions(riccati="parallel")).
+
+r5 CAVEAT (2026-08-21): these standalone numbers are LAYOUT-FLATTERED.
+The synthetic inputs here carry default (knot-major) layouts, where the
+matmul scan compiles to its fast form (0.63 ms).  Inside the solver, XLA
+lays the producer outputs out batch-minor and the SAME scan measures
+~99 ms/iteration at B=2048 — the per-knot dot_generals force per-step
+relayouts.  SolverOptions.riccati_body="mulsum" (broadcast-mult+reduce,
+now the default) is layout-insensitive (~15 ms on solver-layout inputs,
+RTI 38.4k -> 122k solves/s end-to-end).  Standalone microbenchmarks whose
+inputs have different layouts than the real producers do not transfer.
 """
 import os
 import sys

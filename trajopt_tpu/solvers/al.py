@@ -307,9 +307,22 @@ def al_solve(
     # call rollout! before solve; problem.jl:330-340).
     xs0 = rollout(model, x0, us_init, times, dts)
     if xs_init is not None:
-        # Warm start states are only meaningful if dynamically consistent;
-        # prefer them when finite, else the rollout.
-        xs0 = jnp.where(jnp.all(jnp.isfinite(xs_init)), xs_init, xs0)
+        # Warm-start states are only a valid ITERATE when dynamically
+        # consistent: the Pareto best-iterate backstop can otherwise
+        # return the un-rolled initial guess itself — constraint-feasible,
+        # artificially cheap, and violating the dynamics (caught r5 with a
+        # DIRCOL-warm-started solve whose Hermite-Simpson trajectory is
+        # not an RK4 rollout: al_solve returned it as converged=True,
+        # viol=0).  Guard with the per-step defect; shifted MPC
+        # trajectories and PN outputs sit far below the threshold, while
+        # foreign-transcription or hand-made state guesses fall back to
+        # the rollout (use opts.infeasible for genuine state seeding).
+        pred = jax.vmap(model.step)(xs_init[:-1], us_init[:-1],
+                                    times[:-1], dts[:-1])
+        defect = jnp.max(jnp.abs(pred - xs_init[1:]))
+        ok = jnp.all(jnp.isfinite(xs_init)) & (
+            defect <= opts.warm_start_defect_tolerance)
+        xs0 = jnp.where(ok, xs_init, xs0)
 
     lams, mus = init_duals(blocks, opts, dtype)
     if duals_init is not None:

@@ -66,7 +66,14 @@ def altro_solve(model, obj, blocks, x0, us0, times, dts,
     # the rollout alone mis-gates warm-started solves).
     xs0 = _rollout(model, x0, us0, times, dts)
     if xs_init is not None:
-        xs0 = jnp.where(jnp.all(jnp.isfinite(xs_init)), xs_init, xs0)
+        # r5 warm-start defect guard (see al_solve): a dynamically-
+        # inconsistent state guess must not set the rescue baseline.
+        pred = jax.vmap(model.step)(xs_init[:-1], us0[:-1],
+                                    times[:-1], dts[:-1])
+        ok = jnp.all(jnp.isfinite(xs_init)) & (
+            jnp.max(jnp.abs(pred - xs_init[1:]))
+            <= opts.warm_start_defect_tolerance)
+        xs0 = jnp.where(ok, xs_init, xs0)
     J_init = obj.cost(xs0, us0)
     rescue = sol.J < J_init
     return projected_newton(

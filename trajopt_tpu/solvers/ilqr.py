@@ -390,7 +390,10 @@ def _closed_loop_rollout(model: DiscreteModel, xs_ref, us_ref, K, d, alpha, x0,
 
     def step(x, inp):
         x_ref, u_ref, K_k, d_k, t, dt = inp
-        u = u_ref + alpha * d_k + K_k @ diff(x, x_ref)
+        # gain application as multiply+reduce, not dot_general (see
+        # riccati_body: batched tiny dots force per-step relayouts)
+        dx = diff(x, x_ref)
+        u = u_ref + alpha * d_k + jnp.sum(K_k * dx[..., None, :], axis=-1)
         xn = model.step(x, u, t, dt)
         xn = jnp.clip(xn, -max_state, max_state)
         return xn, (xn, u)

@@ -214,6 +214,17 @@ class SolverOptions:
     # corrupted one.
     al_phase_tolerance: Optional[float] = None
 
+    # -- warm-start hygiene ---------------------------------------------------
+    # Max per-step dynamics defect for a warm-start state trajectory
+    # (al_solve xs_init) to be trusted as the initial ITERATE.  Beyond it
+    # the solve falls back to the rollout of the warm-start controls:
+    # a dynamically-inconsistent xs_init is constraint-feasible and
+    # artificially cheap, and the best-iterate backstop could return it
+    # as "converged" (r5 DIRCOL-warm-start incident).  Shifted MPC
+    # trajectories and projected-Newton outputs have defects orders of
+    # magnitude below this; use opts.infeasible for genuine state seeding.
+    warm_start_defect_tolerance: float = 1e-2
+
     def __post_init__(self):
         # Enum-style knobs fail loudly on typos ("bf16" silently behaving as
         # "same" would let an A/B run measure the baseline while believing it

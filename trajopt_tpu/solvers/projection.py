@@ -52,14 +52,43 @@ def _set_knots(arr, inds, upd):
     return arr.at[jnp.array(inds)].set(upd)
 
 
+# Unrolled small-matrix routines keep the scan bodies pure broadcast
+# arithmetic (no solve_triangular/cholesky custom calls -> no per-step
+# relayouts in batch-minor layouts; see SolverOptions.riccati_body), but
+# their trace size is O(q^2)-O(q^3): beyond this block size compilation
+# explodes (dubins_escape's 120 obstacle rows -> q ~ 125), so large
+# systems keep the LAPACK-style custom calls.
+_UNROLL_MAX_Q = 40
+
+
 def _tri_solve(L, b):
     """Solve L y = b (lower triangular); b is (q,) or (q, k)."""
+    if L.shape[-1] <= _UNROLL_MAX_Q:
+        from ..utils.linalg import tri_solve_small
+        return tri_solve_small(L, b)
     return jax.scipy.linalg.solve_triangular(L, b, lower=True)
 
 
 def _tri_solve_t(L, b):
     """Solve L^T y = b."""
+    if L.shape[-1] <= _UNROLL_MAX_Q:
+        from ..utils.linalg import tri_solve_small
+        return tri_solve_small(L, b, trans=True)
     return jax.scipy.linalg.solve_triangular(L, b, lower=True, trans=1)
+
+
+def _mm_t(X, Y):
+    """X @ Y^T via multiply+reduce (riccati_body lesson: batched tiny
+    dot_generals inside scans force per-step relayouts)."""
+    return jnp.sum(X[..., :, None, :] * Y[..., None, :, :], axis=-1)
+
+
+def _mv(M, v):
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
+def _mtv(M, v):
+    return jnp.sum(M * v[..., :, None], axis=-2)
 
 
 def projected_newton(
@@ -199,9 +228,14 @@ def projected_newton(
 
         def fact(L_prev, inp):
             Gd_k, Go_k = inp
-            M_k = _tri_solve(L_prev, Go_k.T).T           # Go_k L_prev^{-T}
-            S = Gd_k - M_k @ M_k.T
-            L_k = jnp.linalg.cholesky(S)
+            M_k = jnp.swapaxes(
+                _tri_solve(L_prev, jnp.swapaxes(Go_k, -1, -2)), -1, -2)
+            S = Gd_k - _mm_t(M_k, M_k)
+            if S.shape[-1] <= _UNROLL_MAX_Q:
+                from ..utils.linalg import chol_small
+                L_k, _ = chol_small(S)
+            else:
+                L_k = jnp.linalg.cholesky(S)
             return L_k, (L_k, M_k)
 
         # group 0 has no coupling: seed the scan with an identity "L_{-1}"
@@ -209,14 +243,14 @@ def projected_newton(
 
         def fwd(y_prev, inp):
             L_k, M_k, r_k = inp
-            y_k = _tri_solve(L_k, r_k - M_k @ y_prev)
+            y_k = _tri_solve(L_k, r_k - _mv(M_k, y_prev))
             return y_k, y_k
 
         _, yhat = jax.lax.scan(fwd, jnp.zeros((q,), dtype), (L, M, r))
 
         def bwd(y_next, inp):
             L_k, M_next, yhat_k = inp
-            y_k = _tri_solve_t(L_k, yhat_k - M_next.T @ y_next)
+            y_k = _tri_solve_t(L_k, yhat_k - _mtv(M_next, y_next))
             return y_k, y_k
 
         M_next = jnp.concatenate([M[1:], jnp.zeros((1, q, q), dtype)], axis=0)

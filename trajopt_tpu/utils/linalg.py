@@ -105,3 +105,32 @@ def inv_small(A: jax.Array) -> jax.Array:
             if j != i:
                 rows[j] = rows[j] - rows[j][..., i:i + 1] * rows[i]
     return jnp.stack([rows[i][..., m:] for i in range(m)], axis=-2)
+
+
+def tri_solve_small(L: jax.Array, B: jax.Array, trans: bool = False):
+    """Solve L X = B (or L^T X = B with ``trans``) by unrolled substitution.
+
+    L: (..., m, m) lower triangular; B: (..., m, k) or (..., m).  Pure
+    broadcast arithmetic — no solve_triangular custom call, so it stays
+    inside XLA loop fusions regardless of batch layout (see
+    SolverOptions.riccati_body).
+    """
+    vec = B.ndim == L.ndim - 1
+    if vec:
+        B = B[..., None]
+    m = L.shape[-1]
+    x = [None] * m
+    if not trans:
+        for i in range(m):
+            s = B[..., i, :]
+            for j in range(i):
+                s = s - L[..., i, j][..., None] * x[j]
+            x[i] = s / L[..., i, i][..., None]
+    else:
+        for i in reversed(range(m)):
+            s = B[..., i, :]
+            for j in range(i + 1, m):
+                s = s - L[..., j, i][..., None] * x[j]
+            x[i] = s / L[..., i, i][..., None]
+    X = jnp.stack(x, axis=-2)
+    return X[..., 0] if vec else X
