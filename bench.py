@@ -219,11 +219,10 @@ def main():
     # every scenario at the slowest lane's pace, so smaller cold chunks let
     # easy chunks retire early; the fixed-schedule MPC step has no while_loop
     # and amortizes dispatch best at the large chunk.
-    # 256 re-tuned 2026-08-21 (r5): the PN composition tightened the cold
-    # iteration distribution (mean 35.3, chunk stragglers ~38), so the old
-    # straggler-driven 64 left lane efficiency on the table: 64: 169/s,
-    # 256: 198/s, 512: 183/s, 2048: 146/s (matmul body).
-    cold_chunk = min(B, chunk, int(os.environ.get("BENCH_COLD_CHUNK", 256)))
+    # re-tuned r5 under the mulsum body + PN composition: 64: 377/s,
+    # 128: 487/s, 256: 466/s, 512: 409/s, 2048-era straggler logic no
+    # longer binds (chunk stragglers ~38 iters vs mean 35.3).
+    cold_chunk = min(B, chunk, int(os.environ.get("BENCH_COLD_CHUNK", 128)))
     assert B % cold_chunk == 0
     tf = 5.0
 
@@ -498,7 +497,12 @@ def main():
     # Cross-step Jacobian carry: shift the previous step's (A, B) with the
     # warm start and relinearize only a rotating LINWIN-knot window per
     # step (mpc.init_lin_carry / solvers.fixed.refresh_linearization).
-    linwin = int(os.environ.get("BENCH_LINWIN", 0))
+    # r5 (mulsum balance): the carry now WINS — with the scan fixed,
+    # linearization is a real share of the 16.7 ms step again.  Sweep
+    # (2026-08-21): LW2 130.5k, LW5 129.8k, LW10 127.7k, LW20 126.3k,
+    # off 122.1k.  Default 5 bounds staleness to 20 steps; all quality
+    # gates identical (100% in-tol, viol 0, 0 resets).
+    linwin = int(os.environ.get("BENCH_LINWIN", 5))
     controller = mpc.make_mpc_controller(
         dm, obj, blocks, times, dts, opts_mpc, batched=True,
         schedule=schedule, lin_window=linwin,

@@ -118,15 +118,31 @@ def analyze(logdir, steps, wall):
     # bandwidth from the hardware's performance counters.
     from xprof.convert import raw_to_tool_data as rtd
     params = {"use_saved_result": False}
-    for tool in ("framework_op_stats", "overview_page"):
-        try:
-            data, _ = rtd.xspace_to_tool_data(xplanes, tool, params)
-            fname = f"/tmp/roofline_{tool}.json"
-            with open(fname, "w") as f:
-                f.write(data if isinstance(data, str) else data.decode())
-            print(f"wrote {fname}", file=sys.stderr)
-        except Exception as e:
-            print(f"{tool} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    data, _ = rtd.xspace_to_tool_data(xplanes, "framework_op_stats", params)
+    tab = json.loads(data if isinstance(data, str) else data.decode())[0]
+    cols = [c["id"] for c in tab["cols"]]
+    ix = {c: i for i, c in enumerate(cols)}
+    import collections
+    dev_t = bw_t = flop_t = 0.0
+    by_type = collections.defaultdict(float)
+    for r in tab["rows"]:
+        v = [c["v"] for c in r["c"]]
+        if v[ix["host_or_device"]] != "Device":
+            continue
+        t = float(v[ix["total_self_time"]])        # microseconds
+        dev_t += t
+        bw_t += t * float(v[ix["measured_memory_bw"]] or 0.0)   # GB/s
+        flop_t += t * float(v[ix["measured_flop_rate"]] or 0.0)
+        by_type[v[ix["type"]]] += t
+    out.update(
+        device_ms_per_step=round(dev_t / 1e3 / steps, 2),
+        measured_hbm_gbps=round(bw_t / dev_t, 1),
+        hbm_util_frac=round(bw_t / dev_t / (PEAK_HBM_BW / 1e9), 4),
+        measured_gflops=round(flop_t / dev_t, 1),
+        top_op_types_ms_per_step={
+            k: round(t / 1e3 / steps, 2)
+            for k, t in sorted(by_type.items(), key=lambda kv: -kv[1])[:8]},
+    )
     print(json.dumps(out))
 
 
