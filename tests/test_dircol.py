@@ -155,16 +155,17 @@ def test_dircol_rocket_cold_anchor():
 
 def test_warm_start_defect_guard():
     """r5 regression: a dynamically-INCONSISTENT warm-start state
-    trajectory (e.g. a DIRCOL solution under ALTRO's RK4 stepping) must
-    not be returned as a 'converged' iterate — it is constraint-feasible
-    and artificially cheap but violates the dynamics.  The defect guard
-    (SolverOptions.warm_start_defect_tolerance) falls back to the rollout;
-    the returned trajectory always satisfies the step equation."""
+    trajectory (e.g. a DIRCOL solution under ALTRO's RK4 stepping) is
+    constraint-feasible and artificially cheap; pre-guard it came back as
+    converged=True with J 22% below the true transcription optimum.  The
+    contract now: a finite guess may SEED the iterate (the state-guess
+    seeding that threads dubins_escape), but (a) the solve can never
+    report CONVERGED while sitting on an inconsistent guess, and (b) the
+    returned trajectory always satisfies the step equation (the exit
+    swaps to the best consistent iterate when seeding fails to move)."""
     from trajopt_tpu.benchmarks import rocket_landing
     from trajopt_tpu.solvers import SolverOptions
 
-    cold = ALTROSolver(rocket_landing(N=31), SolverOptions())
-    cold.solve()
     prob = rocket_landing(N=31)
     prob.rollout()
     d = DIRCOLSolver(prob, DIRCOLOptions(max_iterations=500))
@@ -179,6 +180,7 @@ def test_warm_start_defect_guard():
                                    p2.times[:-1], p2.dts[:-1])
     defect = float(jnp.max(jnp.abs(pred - xs_w[1:])))
     assert defect < 1e-8, f"returned trajectory defect {defect:.2e}"
-    # and the cost is the genuine (rollout-consistent) optimum, not the
-    # foreign-transcription artifact (~22% below it)
-    assert w.cost() == pytest.approx(cold.cost(), rel=1e-6)
+    # the artificially-cheap guess cost must not be reported: either the
+    # solve moved to a genuine optimum, or it is honestly unconverged
+    if bool(w.solution.converged):
+        assert w.cost() > d.cost() * 1.05

@@ -305,24 +305,33 @@ def al_solve(
     dtype = us_init.dtype
     # Ensure dynamic feasibility: rollout from x0 (the reference examples
     # call rollout! before solve; problem.jl:330-340).
-    xs0 = rollout(model, x0, us_init, times, dts)
+    xs_roll = rollout(model, x0, us_init, times, dts)
+    xs0 = xs_seed = xs_roll
     if xs_init is not None:
-        # Warm-start states are only a valid ITERATE when dynamically
-        # consistent: the Pareto best-iterate backstop can otherwise
-        # return the un-rolled initial guess itself — constraint-feasible,
-        # artificially cheap, and violating the dynamics (caught r5 with a
-        # DIRCOL-warm-started solve whose Hermite-Simpson trajectory is
-        # not an RK4 rollout: al_solve returned it as converged=True,
-        # viol=0).  Guard with the per-step defect; shifted MPC
-        # trajectories and PN outputs sit far below the threshold, while
-        # foreign-transcription or hand-made state guesses fall back to
-        # the rollout (use opts.infeasible for genuine state seeding).
+        # A finite state guess always seeds the initial ITERATE (the first
+        # backward pass linearizes around it and the closed-loop forward
+        # rollout tracks it — the state-guess seeding that threads e.g.
+        # the 120-obstacle dubins_escape corridor).  But only a
+        # DYNAMICALLY-CONSISTENT guess may seed the best-iterate backstop
+        # and the cost/violation baselines: an un-rolled guess is
+        # constraint-feasible and artificially cheap, and the Pareto
+        # backstop could hand it back as a "converged" solution (caught r5
+        # with a DIRCOL warm start whose Hermite-Simpson trajectory is not
+        # an RK4 rollout — reported J 22% below the true transcription
+        # optimum).  Shifted MPC trajectories and PN outputs sit far below
+        # the defect threshold.
+        finite = jnp.all(jnp.isfinite(xs_init))
+        xs0 = jnp.where(finite, xs_init, xs_roll)
         pred = jax.vmap(model.step)(xs_init[:-1], us_init[:-1],
                                     times[:-1], dts[:-1])
         defect = jnp.max(jnp.abs(pred - xs_init[1:]))
-        ok = jnp.all(jnp.isfinite(xs_init)) & (
-            defect <= opts.warm_start_defect_tolerance)
-        xs0 = jnp.where(ok, xs_init, xs0)
+        # non-finite guesses (solve_problem's NaN default) fall back to
+        # the rollout, which IS consistent — only a finite-but-
+        # inconsistent guess needs the special handling below
+        guess_ok = (~finite) | (defect <= opts.warm_start_defect_tolerance)
+        xs_seed = jnp.where(finite & guess_ok, xs_init, xs_roll)
+    else:
+        guess_ok = jnp.array(True)
 
     lams, mus = init_duals(blocks, opts, dtype)
     if duals_init is not None:
@@ -390,11 +399,28 @@ def al_solve(
         cost_fn, expand_fn = make_al_functions(
             obj, blocks, s.lams, s.mus,
             exact_hessian=opts.al_hessian_exact)
+        # Merit baseline for the inner solve: an inconsistent state guess
+        # (outer 0 only) is a REFERENCE for the first backward pass, not a
+        # comparable iterate — its merit is not commensurate with rollout
+        # merits in either direction (a feasible foreign-transcription
+        # guess reads artificially cheap and blocks every move; a rollout
+        # baseline blocks guess-tracking trials whose true cost is higher
+        # than the do-nothing rollout's).  Baseline at +inf instead: the
+        # monotone fallback then accepts the best SANE trial on iteration
+        # 1 (a genuine closed-loop rollout tracking the guess), and normal
+        # descent logic resumes from that real trajectory.
+        if xs_init is None:
+            J0_init = None
+        else:
+            J0_init = jnp.where(
+                guess_ok | (s.outer > 0),
+                cost_fn(s.xs, s.us), jnp.asarray(jnp.inf, dtype))
         res = ilqr_solve(
             model, cost_fn, expand_fn, x0, s.xs, s.us, times, dts, opts,
             max_iters=opts.iterations_inner,
             cost_tol=opts.cost_tolerance_intermediate,
             grad_tol=opts.gradient_tolerance_intermediate,
+            J0_init=J0_init,
         )
         cvals = eval_blocks(blocks, res.xs, res.us)
         viol = max_violation_blocks(blocks, cvals)
@@ -419,6 +445,13 @@ def al_solve(
         lams_n = jax.tree_util.tree_map(
             lambda old, new: jnp.where(reject, old, new), s.lams, lams_upd)
         converged = (~reject) & (viol < tol)
+        if xs_init is not None:
+            # an inconsistent guess the inner solver never moved off is
+            # not a solution (defect-guard belt: it satisfies the
+            # constraint blocks but not the dynamics).  Compare against
+            # the ORIGINAL guess: the iterate can sit on it across outers.
+            on_guess = jnp.all(res.xs == xs_init)
+            converged = converged & (guess_ok | ~on_guess)
         # Scale penalties only while infeasible, and (conditional/Bertsekas
         # update) only when the violation is not already shrinking fast
         # enough for dual updates alone.  A rejected step ALWAYS escalates.
@@ -470,8 +503,11 @@ def al_solve(
             best_viol=best_viol, stats=stats_n,
         )
 
-    J_init = obj.cost(xs0, us_init)
-    viol_init = max_violation_blocks(blocks, eval_blocks(blocks, xs0, us_init))
+    # Baselines and the best-iterate backstop seed from the CONSISTENT
+    # trajectory (xs_seed): see the warm-start defect guard above.
+    J_init = obj.cost(xs_seed, us_init)
+    viol_init = max_violation_blocks(
+        blocks, eval_blocks(blocks, xs_seed, us_init))
     init = Carry(
         xs=xs0, us=us_init, lams=lams, mus=mus,
         J=J_init,
@@ -481,7 +517,7 @@ def al_solve(
         outer=jnp.zeros((), jnp.int32),
         converged=jnp.array(False),
         failed=jnp.array(False),
-        best_xs=xs0, best_us=us_init, best_J=J_init,
+        best_xs=xs_seed, best_us=us_init, best_J=J_init,
         best_viol=viol_init.astype(dtype),
         stats=_empty_stats(),
     )
@@ -492,11 +528,23 @@ def al_solve(
         PARETO-dominates an infeasible final one (in-loop rejection already
         keeps diverged iterates out of the carry; this only catches gradual
         non-monotone drift, e.g. violation creeping up at saturated mu)."""
+        swap = jnp.array(False)
+        if xs_init is not None:
+            # defect-guard: never RETURN the raw inconsistent guess — if
+            # the solve ends still sitting on it (closed-loop seeding can
+            # fail to move off a constraint-feasible foreign-transcription
+            # guess), hand back the best CONSISTENT iterate instead,
+            # unconverged.
+            swap = (~guess_ok) & jnp.all(xs_f == xs_init)
         if not opts.al_safeguard:
-            return xs_f, us_f, J_f, viol_f, grad_f, conv_f
-        worse = (viol_f > tol) & (out.best_viol <= viol_f) \
-            & (out.best_J <= J_f) \
-            & ((out.best_viol < viol_f) | (out.best_J < J_f))
+            return (jnp.where(swap, out.best_xs, xs_f),
+                    jnp.where(swap, out.best_us, us_f),
+                    jnp.where(swap, out.best_J, J_f),
+                    jnp.where(swap, out.best_viol, viol_f),
+                    grad_f, conv_f & ~swap)
+        worse = swap | ((viol_f > tol) & (out.best_viol <= viol_f)
+                        & (out.best_J <= J_f)
+                        & ((out.best_viol < viol_f) | (out.best_J < J_f)))
         return (
             jnp.where(worse, out.best_xs, xs_f),
             jnp.where(worse, out.best_us, us_f),
@@ -542,6 +590,10 @@ def al_solve(
     # converged even if the outer loop's own budget expired first.
     conv_f = (out.converged | (keep & ~res.failed)) & (
         viol_f < opts.constraint_tolerance)
+    if xs_init is not None:
+        # defect-guard belt (see body): the raw inconsistent guess can
+        # survive to here through the polish's keep path
+        conv_f = conv_f & (guess_ok | ~jnp.all(xs_f == xs_init))
     xs_f, us_f, J_f, viol_f, grad_f, conv_f = _best_guard(
         xs_f, us_f, obj.cost(xs_f, us_f), viol_f, grad_f, conv_f)
     return ALSolution(

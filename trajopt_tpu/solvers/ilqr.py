@@ -492,9 +492,17 @@ def ilqr_solve(
     max_iters: int = None,
     cost_tol: float = None,
     grad_tol: float = None,
+    J0_init=None,
 ) -> ILQRResult:
     """Solve min cost_fn(xs, us) s.t. dynamics, from a dynamically-feasible
-    (xs, us).  Fully jittable / vmappable."""
+    (xs, us).  Fully jittable / vmappable.
+
+    ``J0_init`` overrides the initial merit baseline.  A dynamically-
+    INCONSISTENT state-guess iterate (al_solve warm-start seeding) carries
+    an artificially low merit — no rollout trial can beat it, the line
+    search always fails, and the stall test would 'converge' at the raw
+    guess; the caller passes the ROLLOUT's merit instead so the first
+    accepted step lands on a genuine trajectory (r5 defect-guard)."""
     if opts.iterations_linesearch == 0:
         raise ValueError(
             "iterations_linesearch=0 (unconditional full step) is only "
@@ -505,7 +513,7 @@ def ilqr_solve(
     cost_tol = opts.cost_tolerance if cost_tol is None else cost_tol
     grad_tol = opts.gradient_tolerance if grad_tol is None else grad_tol
     dtype = xs.dtype
-    J0 = cost_fn(xs, us)
+    J0 = cost_fn(xs, us) if J0_init is None else J0_init
 
     def cond(s: ILQRResult):
         return (~s.converged) & (~s.failed) & (s.iterations < max_iters)
